@@ -1,0 +1,87 @@
+"""Block-size selection: the TPU analog of the reference's chunk counts.
+
+The reference kernel is parameterized by `num_chunks_q` / `num_chunks_kv`
+(/root/reference/flash_attention_ipu/cpp/flash_attention_qkv_packed.cpp:560-607):
+the sequence is split into chunks and iterated with Poplar Repeat loops.  On
+TPU the same role is played by Pallas grid block sizes: block_q = L/num_chunks_q
+is how many query rows live in VMEM at once, block_kv = L/num_chunks_kv how
+many KV rows.  Peak live memory per grid cell is O(block_q*d + block_kv*d +
+block_q*block_kv), exactly the reference's memory/time trade.
+
+The auto heuristic reproduces
+/root/reference/flash_attention_ipu/_impl/scaled_dot_product_attention.py:46-53:
+pick power-of-two chunk counts so a scores block has at most as many elements
+as the Q tensor itself.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+# Hardware-friendly bounds: lanes are 128 wide; fp32 sublanes are 8.
+MIN_BLOCK = 128
+MAX_BLOCK_Q = 512
+MAX_BLOCK_KV = 1024
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSizes:
+    """Static tiling configuration for the flash attention kernels.
+
+    Hashable + frozen so it can ride through `jax.custom_vjp` nondiff args.
+    """
+
+    block_q: int = 128
+    block_kv: int = 128
+    # Backward pass tiles (dKV kernel iterates q inside kv; dQ the reverse).
+    block_q_dkv: int | None = None
+    block_kv_dkv: int | None = None
+    block_q_dq: int | None = None
+    block_kv_dq: int | None = None
+
+    def bwd_dkv(self) -> tuple[int, int]:
+        return (self.block_q_dkv or self.block_q, self.block_kv_dkv or self.block_kv)
+
+    def bwd_dq(self) -> tuple[int, int]:
+        return (self.block_q_dq or self.block_q, self.block_kv_dq or self.block_kv)
+
+
+def _clamp_pow2(x: int, lo: int, hi: int) -> int:
+    return max(lo, min(hi, x))
+
+
+def auto_num_chunks(seq_len: int, head_dim: int) -> tuple[int, int]:
+    """Reference-parity auto-chunking heuristic.
+
+    num_chunks_q = 2^ceil(log2(max(L, D) // D) / 2)
+    num_chunks_kv = 2^floor(log2(max(L, D) // D) / 2)
+    so that a scores chunk has at most as many elements as Q
+    (cf. _impl/scaled_dot_product_attention.py:46-53).
+    """
+    ratio = max(seq_len, head_dim) // head_dim
+    log2 = math.log2(ratio) if ratio > 0 else 0.0
+    return 2 ** math.ceil(log2 / 2), 2 ** math.floor(log2 / 2)
+
+
+def blocks_from_chunks(
+    q_len: int,
+    kv_len: int,
+    num_chunks_q: int,
+    num_chunks_kv: int,
+) -> BlockSizes:
+    """Map reference chunk counts to TPU block sizes.
+
+    Chunk counts give the user's intended memory budget (block = L/chunks);
+    we honor it but clamp to hardware-efficient tile bounds, so e.g. 64k
+    sequence with 64 chunks gives 1024-row blocks capped at MAX_BLOCK.
+    """
+    bq = _clamp_pow2(q_len // max(num_chunks_q, 1), MIN_BLOCK, MAX_BLOCK_Q)
+    bkv = _clamp_pow2(kv_len // max(num_chunks_kv, 1), MIN_BLOCK, MAX_BLOCK_KV)
+    return BlockSizes(block_q=bq, block_kv=bkv)
+
+
+def default_blocks(q_len: int, kv_len: int, head_dim: int) -> BlockSizes:
+    """Good default tiling when the caller gives no chunk counts."""
+    nq, nkv = auto_num_chunks(max(q_len, kv_len), head_dim)
+    return blocks_from_chunks(q_len, kv_len, nq, nkv)

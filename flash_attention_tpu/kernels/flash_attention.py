@@ -1,0 +1,608 @@
+"""FlashAttention-2 Pallas kernels for TPU.
+
+TPU-native redesign of the reference Poplar kernels
+(/root/reference/flash_attention_ipu/cpp/flash_attention_qkv_packed.cpp):
+
+* The reference's nested Poplar ``Repeat`` loops over q/kv chunks with
+  ``dynamicSlice`` (flash_attention_qkv_packed.cpp:311,328) become a Pallas
+  grid ``(batch*kv_heads, num_q_blocks, num_kv_blocks)`` with BlockSpec-driven
+  HBM->VMEM pipelining.
+* The reference's causal block skip ``If(doBlock)`` when
+  ``(i+1)*q_chunk <= j*kv_chunk`` (…:244,305) becomes ``pl.when`` predication
+  on the same inequality.
+* The reference's materialized triu mask blocks (…:47-159) are replaced by
+  ``broadcasted_iota`` index comparisons computed in-register — a Poplar-ism
+  with no reason to exist on TPU.
+* The reference backward recomputes the full forward including out+lse
+  (…:357).  We instead save ``(o, lse)`` as residuals (FlashAttention-2 style)
+  and run two Pallas kernels — dKV (kv-outer/q-inner, mirroring the
+  reference's loop order at …:410-497) and dQ (q-outer/kv-inner) — with
+  ``di = rowsum(o * do)`` precomputed once (the reference's D at …:374-377).
+* Online softmax identical in spirit to …:281-300: running max m, correction
+  alpha = exp(m_prev - m_next), unnormalized accumulator, single final
+  division (FlashAttention-2, as the reference notebook's appendix C notes).
+
+Numerics: all softmax statistics and accumulators are fp32 VMEM scratch even
+for bf16 inputs; matmuls use ``preferred_element_type=jnp.float32``.  This is
+deliberately *stronger* than the reference, whose fp16 backward tolerance is
+1e-0 (tests/cpp/test_flash_attention.cpp:292-295).
+
+GQA is native: q is reshaped to [batch*kv_heads, q_per_kv, q_len, d] and the
+q_per_kv group rides inside the kernel's row dimension, so QK^T is one
+(q_per_kv*block_q, d) @ (d, block_kv) MXU matmul per tile and KV is never
+duplicated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import use_interpret
+from .block_sizes import MIN_BLOCK, BlockSizes, blocks_from_chunks, default_blocks
+from .vanilla import DEFAULT_MASK_VALUE, vanilla_attention
+
+__all__ = ["flash_attention", "flash_attention_with_lse", "BlockSizes"]
+
+
+@dataclasses.dataclass(frozen=True)
+class _Params:
+    """Static kernel configuration (hashable: rides custom_vjp nondiff args)."""
+
+    sm_scale: float
+    causal: bool
+    q_len: int  # real (pre-padding) lengths, for masking
+    kv_len: int
+    blocks: BlockSizes
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _mask_for_block(
+    params: _Params,
+    i,
+    j,
+    rows: int,
+    bq: int,
+    bkv: int,
+    kv_padded: bool,
+):
+    """Combined causal + kv-length mask for one (i, j) tile, or None.
+
+    Index-arithmetic replacement for the reference's materialized mask blocks
+    (cpp/flash_attention_qkv_packed.cpp:133-173).  ``rows = q_per_kv * bq``:
+    all q heads in the GQA group share positions, so the row position is the
+    row index modulo bq.
+    """
+    if not params.causal and not kv_padded:
+        return None
+    row_pos = jax.lax.broadcasted_iota(jnp.int32, (rows, bkv), 0) % bq + i * bq
+    col_pos = jax.lax.broadcasted_iota(jnp.int32, (rows, bkv), 1) + j * bkv
+    mask = None
+    if params.causal:
+        offset = params.kv_len - params.q_len
+        mask = col_pos <= row_pos + offset
+    if kv_padded:
+        kv_mask = col_pos < params.kv_len
+        mask = kv_mask if mask is None else mask & kv_mask
+    return mask
+
+
+def _run_cond(params: _Params, i, j, bq: int, bkv: int):
+    """Causal block-skip predicate: same inequality as the reference's
+    ``If(doBlock)`` (cpp/flash_attention_qkv_packed.cpp:244), generalized for
+    q_len != kv_len (queries aligned to the end of the KV sequence)."""
+    offset = params.kv_len - params.q_len
+    return j * bkv <= (i + 1) * bq - 1 + offset
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    lse_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    params: _Params,
+    nj: int,
+    kv_padded: bool,
+):
+    bq, bkv = params.blocks.block_q, params.blocks.block_kv
+    group, d = q_ref.shape[1], q_ref.shape[3]
+    rows = group * bq
+    i, j = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    def body():
+        q = q_ref[0].reshape(rows, d)
+        k = k_ref[0]
+        # s = q @ k^T  "attn_ij = q_i @ k_j.T" (cf. …cpp:254)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * params.sm_scale
+        mask = _mask_for_block(params, i, j, rows, bq, bkv, kv_padded)
+        if mask is not None:
+            s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]  # (rows, 128), lane-replicated
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)  # (rows, 1)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)  # correction c = exp(m_i - m_new)
+        p = jnp.exp(s - m_next[:, 0:1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+        # o_i = c * o_i + attn_ij @ v_j (unnormalized; divided once at end)
+        acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + jax.lax.dot(
+            p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+        )
+
+    if params.causal:
+
+        @pl.when(_run_cond(params, i, j, bq, bkv))
+        def _():
+            body()
+
+    else:
+        body()
+
+    @pl.when(j == nj - 1)
+    def _store():
+        l = l_scr[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[...] = (
+            (acc_scr[...] / l_safe).reshape(1, group, bq, d).astype(o_ref.dtype)
+        )
+        # lse = m + log(l)  (cf. …cpp:316)
+        lse = m_scr[:, 0:1] + jnp.log(l_safe)
+        lse_ref[...] = lse.reshape(1, group, bq)
+
+
+def _fwd(params: _Params, q, k, v):
+    """q: [BH, group, Lq, D]; k, v: [BH, Lkv, D] (padded, aligned)."""
+    bh, group, lq, d = q.shape
+    lk = k.shape[1]
+    bq, bkv = params.blocks.block_q, params.blocks.block_kv
+    ni, nj = lq // bq, lk // bkv
+    kv_padded = lk != params.kv_len
+    kernel = functools.partial(
+        _fwd_kernel, params=params, nj=nj, kv_padded=kv_padded
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, ni, nj),
+        in_specs=[
+            pl.BlockSpec((1, group, bq, d), lambda b, i, j: (b, 0, i, 0)),
+            pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, group, bq, d), lambda b, i, j: (b, 0, i, 0)),
+            pl.BlockSpec((1, group, bq), lambda b, i, j: (b, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, group, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, group, lq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((group * bq, 128), jnp.float32),
+            pltpu.VMEM((group * bq, 128), jnp.float32),
+            pltpu.VMEM((group * bq, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=use_interpret(),
+    )(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _recompute_p(params, q_ref, k_ref, lse_ref, i, j, rows, d, bq, bkv, kv_padded):
+    """attn = exp(q @ k^T * scale - lse), masked.  (cf. …cpp:457-459)"""
+    q = q_ref[0].reshape(rows, d)
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * params.sm_scale
+    mask = _mask_for_block(params, i, j, rows, bq, bkv, kv_padded)
+    if mask is not None:
+        s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+    lse = lse_ref[0].reshape(rows, 1)
+    return jnp.exp(s - lse), q, k
+
+
+def _dkv_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    do_ref,
+    lse_ref,
+    di_ref,
+    dk_ref,
+    dv_ref,
+    dk_scr,
+    dv_scr,
+    *,
+    params: _Params,
+    ni: int,
+    kv_padded: bool,
+):
+    """dK/dV: kv block pinned, iterate q blocks — the reference's kv-outer /
+    q-inner loop order (cpp/flash_attention_qkv_packed.cpp:410-497)."""
+    bq, bkv = params.blocks.bwd_dkv()
+    group, d = q_ref.shape[1], q_ref.shape[3]
+    rows = group * bq
+    j, i = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros(dk_scr.shape, jnp.float32)
+        dv_scr[...] = jnp.zeros(dv_scr.shape, jnp.float32)
+
+    def body():
+        p, q, _ = _recompute_p(
+            params, q_ref, k_ref, lse_ref, i, j, rows, d, bq, bkv, kv_padded
+        )
+        do = do_ref[0].reshape(rows, d)
+        # dv += attn^T @ dO  (cf. …cpp:462)
+        dv_scr[...] += jax.lax.dot_general(
+            p.astype(do.dtype),
+            do,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dattn = (dO @ v^T - D) * attn  (cf. …cpp:465-467)
+        dp = jax.lax.dot_general(
+            do, v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        di = di_ref[0].reshape(rows, 1)
+        ds = p * (dp - di) * params.sm_scale
+        # dk += dattn^T @ q  (cf. …cpp:472)
+        dk_scr[...] += jax.lax.dot_general(
+            ds.astype(q.dtype),
+            q,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if params.causal:
+
+        @pl.when(_run_cond(params, i, j, bq, bkv))
+        def _():
+            body()
+
+    else:
+        body()
+
+    @pl.when(i == ni - 1)
+    def _store():
+        dk_ref[...] = dk_scr[...].reshape(1, bkv, d).astype(dk_ref.dtype)
+        dv_ref[...] = dv_scr[...].reshape(1, bkv, d).astype(dv_ref.dtype)
+
+
+def _dq_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    do_ref,
+    lse_ref,
+    di_ref,
+    dq_ref,
+    dq_scr,
+    *,
+    params: _Params,
+    nj: int,
+    kv_padded: bool,
+):
+    """dQ: q block pinned, iterate kv blocks (cf. …cpp:470 accumulation)."""
+    bq, bkv = params.blocks.bwd_dq()
+    group, d = q_ref.shape[1], q_ref.shape[3]
+    rows = group * bq
+    i, j = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros(dq_scr.shape, jnp.float32)
+
+    def body():
+        p, _, k = _recompute_p(
+            params, q_ref, k_ref, lse_ref, i, j, rows, d, bq, bkv, kv_padded
+        )
+        do = do_ref[0].reshape(rows, d)
+        dp = jax.lax.dot_general(
+            do, v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        di = di_ref[0].reshape(rows, 1)
+        ds = p * (dp - di) * params.sm_scale
+        # dq += dattn @ k  (cf. …cpp:470)
+        dq_scr[...] += jax.lax.dot(
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+        )
+
+    if params.causal:
+
+        @pl.when(_run_cond(params, i, j, bq, bkv))
+        def _():
+            body()
+
+    else:
+        body()
+
+    @pl.when(j == nj - 1)
+    def _store():
+        dq_ref[...] = dq_scr[...].reshape(1, group, bq, d).astype(dq_ref.dtype)
+
+
+def _bwd_dkv(params: _Params, q, k, v, do, lse, di):
+    bh, group, lq, d = q.shape
+    lk = k.shape[1]
+    bq, bkv = params.blocks.bwd_dkv()
+    ni, nj = lq // bq, lk // bkv
+    kv_padded = lk != params.kv_len
+    kernel = functools.partial(
+        _dkv_kernel, params=params, ni=ni, kv_padded=kv_padded
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, nj, ni),
+        in_specs=[
+            pl.BlockSpec((1, group, bq, d), lambda b, j, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, group, bq, d), lambda b, j, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, group, bq), lambda b, j, i: (b, 0, i)),
+            pl.BlockSpec((1, group, bq), lambda b, j, i: (b, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bkv, d), jnp.float32),
+            pltpu.VMEM((bkv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=use_interpret(),
+    )(q, k, v, do, lse, di)
+
+
+def _bwd_dq(params: _Params, q, k, v, do, lse, di):
+    bh, group, lq, d = q.shape
+    lk = k.shape[1]
+    bq, bkv = params.blocks.bwd_dq()
+    ni, nj = lq // bq, lk // bkv
+    kv_padded = lk != params.kv_len
+    kernel = functools.partial(
+        _dq_kernel, params=params, nj=nj, kv_padded=kv_padded
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, ni, nj),
+        in_specs=[
+            pl.BlockSpec((1, group, bq, d), lambda b, i, j: (b, 0, i, 0)),
+            pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, group, bq, d), lambda b, i, j: (b, 0, i, 0)),
+            pl.BlockSpec((1, group, bq), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, group, bq), lambda b, i, j: (b, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, group, bq, d), lambda b, i, j: (b, 0, i, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)],
+        scratch_shapes=[pltpu.VMEM((group * bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=use_interpret(),
+    )(q, k, v, do, lse, di)[0]
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp glue (PopART grad-op registration analog, …cpp:519-558)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash(params: _Params, q, k, v):
+    o, _ = _fwd(params, q, k, v)
+    return o
+
+
+def _flash_fwd_rule(params: _Params, q, k, v):
+    o, lse = _fwd(params, q, k, v)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_bwd_rule(params: _Params, res, do):
+    q, k, v, o, lse = res
+    # di = rowsum(out * grad)  (cf. …cpp:374-377)
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    dk, dv = _bwd_dkv(params, q, k, v, do, lse, di)
+    dq = _bwd_dq(params, q, k, v, do, lse, di)
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Public entry point
+# ---------------------------------------------------------------------------
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    sm_scale: float | None = None,
+    block_sizes: BlockSizes | None = None,
+    num_chunks_q: int | None = None,
+    num_chunks_kv: int | None = None,
+) -> jax.Array:
+    """Memory-efficient (flash) attention on TPU.
+
+    Args:
+      q: [batch, num_q_heads, q_len, head_dim].
+      k, v: [batch, num_kv_heads, kv_len, head_dim] with
+        num_q_heads % num_kv_heads == 0 (GQA/MQA supported natively).
+      causal: apply a causal mask (queries aligned to the end of kv).
+      sm_scale: softmax scale; default 1/sqrt(head_dim).  Pass 1.0 for
+        reference parity with flash_attention_qkv_packed, which does NOT
+        scale (caller's responsibility — _impl/flash_attention_qkv_packed.py:55).
+      block_sizes: explicit tiling; overrides num_chunks_*.
+      num_chunks_q / num_chunks_kv: reference-style chunk counts mapped to
+        block sizes (cpp/flash_attention_qkv_packed.cpp:560-607 semantics).
+
+    Returns: [batch, num_q_heads, q_len, head_dim], differentiable.
+    """
+    b, hq, lq, d = q.shape
+    bk, hkv, lk, dk_ = k.shape
+    if v.shape != k.shape:
+        raise ValueError(f"k and v shapes must match: {k.shape} vs {v.shape}")
+    if bk != b or dk_ != d:
+        raise ValueError(f"q/k shape mismatch: {q.shape} vs {k.shape}")
+    if hq % hkv != 0:
+        raise ValueError(
+            f"num_q_heads ({hq}) must be divisible by num_kv_heads ({hkv})"
+        )
+    group = hq // hkv
+    if sm_scale is None:
+        sm_scale = float(d) ** -0.5
+
+    # Tiny/short shapes: dense path (the reference's CPU-fallback role,
+    # _impl/flash_attention_qkv_packed.py:47-53).
+    if lq < MIN_BLOCK or lk < MIN_BLOCK:
+        k_r = jnp.repeat(k, group, axis=1) if group > 1 else k
+        v_r = jnp.repeat(v, group, axis=1) if group > 1 else v
+        return vanilla_attention(q, k_r, v_r, causal=causal, sm_scale=sm_scale)
+
+    if block_sizes is None:
+        if num_chunks_q is not None or num_chunks_kv is not None:
+            block_sizes = blocks_from_chunks(
+                lq, lk, num_chunks_q or 1, num_chunks_kv or 1
+            )
+        else:
+            block_sizes = default_blocks(lq, lk, d)
+    # Clamp blocks to (128-aligned) sequence lengths.
+    block_sizes = dataclasses.replace(
+        block_sizes,
+        block_q=min(block_sizes.block_q, _round_up(lq, MIN_BLOCK)),
+        block_kv=min(block_sizes.block_kv, _round_up(lk, MIN_BLOCK)),
+    )
+
+    params = _Params(
+        sm_scale=float(sm_scale),
+        causal=causal,
+        q_len=lq,
+        kv_len=lk,
+        blocks=block_sizes,
+    )
+
+    # Pad to block/lane multiples (differentiable; grads of pads are slices).
+    bq_all = [block_sizes.block_q, *block_sizes.bwd_dkv()[:1], *block_sizes.bwd_dq()[:1]]
+    bkv_all = [block_sizes.block_kv, block_sizes.bwd_dkv()[1], block_sizes.bwd_dq()[1]]
+    lqp = max(_round_up(lq, bq) for bq in bq_all)
+    lkp = max(_round_up(lk, bkv) for bkv in bkv_all)
+    dp = _round_up(d, MIN_BLOCK)
+    if lqp != lq or dp != d:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, lqp - lq), (0, dp - d)))
+    if lkp != lk or dp != d:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
+
+    q4 = q.reshape(b * hkv, group, lqp, dp)
+    k3 = k.reshape(b * hkv, lkp, dp)
+    v3 = v.reshape(b * hkv, lkp, dp)
+    out = _flash(params, q4, k3, v3)
+    out = out.reshape(b, hq, lqp, dp)
+    if lqp != lq or dp != d:
+        out = out[:, :, :lq, :d]
+    return out
+
+
+def flash_attention_with_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    sm_scale: float | None = None,
+    block_sizes: BlockSizes | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Forward-only flash attention that also returns logsumexp.
+
+    The analog of ``flashAttentionQKVPackedWithStash``
+    (cpp/flash_attention_qkv_packed.cpp:175-334); used by ring attention to
+    combine partial results across sequence shards.  Not differentiable.
+    """
+    b, hq, lq, d = q.shape
+    hkv = k.shape[1]
+    group = hq // hkv
+    if sm_scale is None:
+        sm_scale = float(d) ** -0.5
+    if block_sizes is None:
+        block_sizes = default_blocks(lq, k.shape[2], d)
+    lk = k.shape[2]
+    block_sizes = dataclasses.replace(
+        block_sizes,
+        block_q=min(block_sizes.block_q, _round_up(lq, MIN_BLOCK)),
+        block_kv=min(block_sizes.block_kv, _round_up(lk, MIN_BLOCK)),
+    )
+    params = _Params(
+        sm_scale=float(sm_scale),
+        causal=causal,
+        q_len=lq,
+        kv_len=lk,
+        blocks=block_sizes,
+    )
+    lqp = _round_up(lq, block_sizes.block_q)
+    lkp = _round_up(lk, block_sizes.block_kv)
+    dp = _round_up(d, MIN_BLOCK)
+    if lqp != lq or dp != d:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, lqp - lq), (0, dp - d)))
+    if lkp != lk or dp != d:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
+    q4 = q.reshape(b * hkv, group, lqp, dp)
+    o, lse = _fwd(params, q4, k.reshape(b * hkv, lkp, dp), v.reshape(b * hkv, lkp, dp))
+    o = o.reshape(b, hq, lqp, dp)[:, :, :lq, :d]
+    lse = lse.reshape(b, hq, lqp)[:, :, :lq]
+    return o, lse

@@ -1,0 +1,185 @@
+"""Kernel-level parity tests: flash vs dense vanilla attention.
+
+Replicates the reference's test pyramid (SURVEY.md §4): the C++ on-device
+flash-vs-vanilla comparisons (tests/cpp/test_flash_attention.cpp:243-296) with
+the same tolerance tiers — fwd max-abs-err <=1e-5 fp32 / <=1e-2 bf16; bwd
+<=1e-4 fp32 — and the gradient check via d(sum(out*g)) that the Python suite
+uses through its SGD(lr=1) trick.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_tpu.kernels import (
+    BlockSizes,
+    flash_attention,
+    flash_attention_with_lse,
+    vanilla_attention,
+    vanilla_attention_with_lse,
+)
+
+
+def _rand_qkv(key, b, h, l, d, dtype, hkv=None):
+    kq, kk, kv = jax.random.split(key, 3)
+    hkv = hkv or h
+    q = jax.random.normal(kq, (b, h, l, d), dtype)
+    k = jax.random.normal(kk, (b, hkv, l, d), dtype)
+    v = jax.random.normal(kv, (b, hkv, l, d), dtype)
+    return q, k, v
+
+
+def _ref(q, k, v, causal=True, sm_scale=None):
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    group = q.shape[1] // k.shape[1]
+    if group > 1:
+        k = jnp.repeat(k, group, axis=1)
+        v = jnp.repeat(v, group, axis=1)
+    return vanilla_attention(q, k, v, causal=causal, sm_scale=sm_scale)
+
+
+FWD_TOL = {jnp.float32: 1e-5, jnp.bfloat16: 2e-2}
+BWD_TOL = {jnp.float32: 1e-4, jnp.bfloat16: 5e-2}
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize(
+    "b,h,l,d",
+    [
+        (1, 2, 256, 128),
+        (2, 2, 256, 64),  # head_dim padding path
+        (1, 1, 384, 128),  # seq not divisible by default blocks
+    ],
+)
+def test_forward_parity(dtype, b, h, l, d):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(40), b, h, l, d, dtype)
+    out = flash_attention(q, k, v)
+    ref = _ref(q, k, v)
+    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))
+    assert err <= FWD_TOL[dtype], f"max abs err {err}"
+
+
+@pytest.mark.parametrize("blocks", [(128, 128), (256, 128), (128, 256)])
+def test_forward_block_combos(blocks):
+    bq, bkv = blocks
+    q, k, v = _rand_qkv(jax.random.PRNGKey(90), 1, 2, 512, 128, jnp.float32)
+    out = flash_attention(
+        q, k, v, block_sizes=BlockSizes(block_q=bq, block_kv=bkv)
+    )
+    ref = _ref(q, k, v)
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_forward_chunk_semantics():
+    """Reference chunk counts map onto block sizes (SURVEY §2 op attrs)."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), 1, 2, 1024, 128, jnp.float32)
+    out = flash_attention(q, k, v, num_chunks_q=4, num_chunks_kv=8)
+    ref = _ref(q, k, v)
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_forward_non_causal():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(2), 1, 2, 256, 128, jnp.float32)
+    out = flash_attention(q, k, v, causal=False)
+    ref = _ref(q, k, v, causal=False)
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_forward_gqa():
+    """GQA: 8 q heads on 2 kv heads — the reference rejects this
+    (scaled_dot_product_attention.py:33-37); we support it natively."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), 1, 8, 256, 128, jnp.float32, hkv=2)
+    out = flash_attention(q, k, v)
+    ref = _ref(q, k, v)
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_forward_cross_lengths():
+    """q_len != kv_len (decode-style), causal aligned to sequence end."""
+    key = jax.random.PRNGKey(4)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (1, 2, 128, 128), jnp.float32)
+    k = jax.random.normal(kk, (1, 2, 512, 128), jnp.float32)
+    v = jax.random.normal(kv, (1, 2, 512, 128), jnp.float32)
+    out = flash_attention(q, k, v)
+    ref = vanilla_attention(q, k, v, causal=True, sm_scale=128**-0.5)
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_tiny_shapes_dense_fallback():
+    """Sub-block shapes take the dense path (reference CPU-fallback role);
+    mirrors the reference's tiny C++ cases (G4 L6 D2, test cpp:245-251)."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), 1, 4, 6, 2, jnp.float32)
+    out = flash_attention(q, k, v, sm_scale=1.0)
+    ref = _ref(q, k, v, sm_scale=1.0)
+    np.testing.assert_allclose(out, ref, atol=1e-6, rtol=1e-6)
+
+
+def test_lse_output():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(6), 1, 2, 256, 128, jnp.float32)
+    out, lse = flash_attention_with_lse(q, k, v)
+    ref_out, ref_lse = vanilla_attention_with_lse(
+        q, k, v, causal=True, sm_scale=128**-0.5
+    )
+    np.testing.assert_allclose(out, ref_out, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(lse, ref_lse, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("l", [256, 512])
+def test_backward_parity(dtype, l):
+    """Gradient parity via loss = sum(out * g) — the same functional the
+    reference's Python harness optimizes (test_flash_attention_qkv_packed.py:30)."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(90), 1, 2, l, 128, dtype)
+    g = jax.random.normal(jax.random.PRNGKey(91), q.shape, dtype)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v).astype(jnp.float32) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref(q, k, v).astype(jnp.float32) * g)
+
+    grads_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(grads_flash, grads_ref, "qkv"):
+        err = jnp.max(jnp.abs(gf.astype(jnp.float32) - gr.astype(jnp.float32)))
+        assert err <= BWD_TOL[dtype], f"d{name} max abs err {err}"
+
+
+def test_backward_gqa():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(7), 1, 4, 256, 128, jnp.float32, hkv=2)
+    g = jax.random.normal(jax.random.PRNGKey(8), q.shape, jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref(q, k, v) * g)
+
+    grads_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(grads_flash, grads_ref, "qkv"):
+        np.testing.assert_allclose(
+            gf, gr, atol=1e-4, rtol=1e-4, err_msg=f"d{name}"
+        )
+
+
+def test_backward_unaligned_seq():
+    """Padding path must not pollute gradients."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(9), 1, 2, 384, 64, jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(10), q.shape, jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref(q, k, v) * g)
+
+    grads_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(grads_flash, grads_ref, "qkv"):
+        np.testing.assert_allclose(
+            gf, gr, atol=1e-4, rtol=1e-4, err_msg=f"d{name}"
+        )
