@@ -1,0 +1,24 @@
+"""Sharding/communication layer: meshes, TP rules, ring attention.
+
+Explicit, named, testable collectives (SURVEY.md §5 "Distributed
+communication backend") replacing the reference's implicit PopTorch/GCL
+replication.
+"""
+
+from .mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS, batch_sharding, make_mesh, replicated
+from .ring_attention import head_parallel_attention, ring_attention
+from .sharding import gpt_param_sharding, gpt_param_specs, shard_params
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "SEQ_AXIS",
+    "batch_sharding",
+    "gpt_param_sharding",
+    "gpt_param_specs",
+    "head_parallel_attention",
+    "make_mesh",
+    "replicated",
+    "ring_attention",
+    "shard_params",
+]

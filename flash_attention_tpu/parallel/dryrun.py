@@ -1,0 +1,77 @@
+"""Multi-chip dry-run: compile + execute the sharded training step.
+
+Used by __graft_entry__.dryrun_multichip: the driver runs this with N virtual
+CPU devices (xla_force_host_platform_device_count) to validate that the
+dp x tp sharded training step and the seq-sharded ring attention compile and
+execute without real chips.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models import gpt
+from ..training.optimizer import make_optimizer
+from ..training.trainer import make_train_step
+from .mesh import DATA_AXIS, make_mesh
+from .ring_attention import ring_attention
+from .sharding import gpt_param_sharding
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def dryrun_train_step(n_devices: int) -> None:
+    """One dp x tp sharded train step + one ring-attention fwd, tiny shapes."""
+    devices = jax.devices()
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, have {len(devices)} "
+            "(set xla_force_host_platform_device_count)"
+        )
+    dp = 2 if n_devices % 2 == 0 else 1
+    tp = n_devices // dp
+    mesh = make_mesh(data=dp, model=tp, devices=devices[:n_devices])
+
+    # Tiny GPT: dims chosen divisible by tp for clean head/hidden sharding.
+    cfg = gpt.GPTConfig(
+        vocab_size=128,
+        block_size=128,
+        n_layer=2,
+        n_head=max(tp, 2),
+        n_embd=max(tp, 2) * 16,
+        dropout=0.0,
+        dtype=jnp.float32,
+    )
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-3, warmup_iters=1, lr_decay_iters=10)
+    opt_state = opt.init(params)
+
+    p_shard = gpt_param_sharding(mesh, params)
+    b_shard = NamedSharding(mesh, P(DATA_AXIS))
+    step = jax.jit(
+        make_train_step(cfg, opt),
+        in_shardings=(p_shard, None, b_shard, b_shard, None),
+    )
+
+    batch = dp * 2
+    idx = jnp.zeros((batch, cfg.block_size), jnp.int32)
+    tgt = jnp.ones((batch, cfg.block_size), jnp.int32)
+    idx = jax.device_put(idx, b_shard)
+    tgt = jax.device_put(tgt, b_shard)
+    params_s = jax.tree.map(jax.device_put, params, p_shard)
+
+    new_params, _, loss = step(params_s, opt_state, idx, tgt, jax.random.PRNGKey(1))
+    jax.block_until_ready(new_params)
+    assert jnp.isfinite(loss), f"non-finite loss {loss}"
+
+    # Ring attention over a seq-only mesh on the same devices.
+    seq_mesh = make_mesh(seq=n_devices, devices=devices[:n_devices])
+    b, h, l, d = 1, 2, 128 * n_devices, 64
+    q = jax.random.normal(jax.random.PRNGKey(2), (b, h, l, d), jnp.float32)
+    out = ring_attention(q, q, q, seq_mesh, causal=True)
+    jax.block_until_ready(out)
+    assert out.shape == q.shape
+    print(
+        f"dryrun ok: dp={dp} tp={tp} train-step loss={float(loss):.4f}; "
+        f"ring attention over seq={n_devices} at L={l}"
+    )

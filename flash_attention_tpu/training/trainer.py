@@ -1,0 +1,158 @@
+"""Training steps and loop: the reference demo trainer, TPU-native.
+
+/root/reference/demo/train.py drives PopTorch `trainingModel`/`inferenceModel`
+with replication (data parallelism), gradient accumulation, and periodic eval
+(…:212-265).  Here the same roles are:
+
+* `train_step` — one jitted fwd+bwd+update; data parallelism comes from
+  sharding the batch over a mesh "data" axis (PopTorch replicationFactor
+  analog, …:214), with XLA inserting the gradient all-reduce over ICI.
+* gradient accumulation — `optax.MultiSteps` (PopTorch
+  Training.gradientAccumulation analog, …:219).
+* `Trainer` — eval cadence + loss bookkeeping (…:229-265).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import gpt
+from .optimizer import make_optimizer
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+
+
+def make_train_step(
+    cfg: gpt.GPTConfig, optimizer: optax.GradientTransformation
+) -> Callable:
+    """Build a jittable (state, batch, rng) -> (state, loss) step."""
+
+    def train_step(params, opt_state, idx, targets, rng):
+        loss, grads = jax.value_and_grad(gpt.loss_fn)(
+            params, idx, targets, cfg, rng=rng, deterministic=False
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def make_eval_step(cfg: gpt.GPTConfig) -> Callable:
+    def eval_step(params, idx, targets):
+        return gpt.loss_fn(params, idx, targets, cfg, deterministic=True)
+
+    return eval_step
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """Knobs mirroring the reference's DEFAULT_CONFIGS (demo/train.py:32-38)."""
+
+    max_iters: int = 2000
+    eval_interval: int = 250
+    eval_iters: int = 20
+    learning_rate: float = 3e-4
+    weight_decay: float = 0.1
+    grad_clip: float = 1.0
+    warmup_iters: int = 100
+    lr_decay_iters: int | None = None  # default: max_iters
+    gradient_accumulation: int = 1
+    log_interval: int = 50
+
+
+class Trainer:
+    """Single-host training loop with periodic eval (demo/train.py:229-265).
+
+    Data parallelism: pass a `jax.sharding.NamedSharding` for the batch via
+    `batch_sharding` and params replicated/sharded via `param_sharding`; jit
+    then partitions the step (the PopTorch replication analog).
+    """
+
+    def __init__(
+        self,
+        cfg: gpt.GPTConfig,
+        tcfg: TrainerConfig,
+        *,
+        params=None,
+        seed: int = 0,
+        param_sharding=None,
+        batch_sharding=None,
+    ):
+        self.cfg = cfg
+        self.tcfg = tcfg
+        key = jax.random.PRNGKey(seed)
+        self.init_key, self.rng = jax.random.split(key)
+        self.params = (
+            params if params is not None else gpt.init_params(self.init_key, cfg)
+        )
+        opt = make_optimizer(
+            tcfg.learning_rate,
+            weight_decay=tcfg.weight_decay,
+            grad_clip=tcfg.grad_clip,
+            warmup_iters=tcfg.warmup_iters,
+            lr_decay_iters=tcfg.lr_decay_iters or tcfg.max_iters,
+        )
+        if tcfg.gradient_accumulation > 1:
+            opt = optax.MultiSteps(opt, tcfg.gradient_accumulation)
+        self.optimizer = opt
+        self.opt_state = opt.init(self.params)
+        in_shardings = None
+        if param_sharding is not None or batch_sharding is not None:
+            in_shardings = (
+                param_sharding,
+                None,
+                batch_sharding,
+                batch_sharding,
+                None,
+            )
+        self._train_step = jax.jit(
+            make_train_step(cfg, opt), in_shardings=in_shardings
+        )
+        self._eval_step = jax.jit(make_eval_step(cfg))
+        self.history: list[dict] = []
+
+    def fit(
+        self,
+        train_batches: Iterator,
+        *,
+        val_batches: Callable[[], Iterator] | None = None,
+        log: Callable[[str], None] = print,
+    ) -> list[dict]:
+        t0 = time.time()
+        for it in range(self.tcfg.max_iters):
+            idx, targets = next(train_batches)
+            self.rng, sub = jax.random.split(self.rng)
+            self.params, self.opt_state, loss = self._train_step(
+                self.params, self.opt_state, idx, targets, sub
+            )
+            if it % self.tcfg.log_interval == 0 or it == self.tcfg.max_iters - 1:
+                rec = {
+                    "iter": it,
+                    "train_loss": float(loss),
+                    "wall_s": time.time() - t0,
+                }
+                if val_batches is not None and (
+                    it % self.tcfg.eval_interval == 0
+                    or it == self.tcfg.max_iters - 1
+                ):
+                    vlosses = []
+                    for _, (vi, vt) in zip(
+                        range(self.tcfg.eval_iters), val_batches()
+                    ):
+                        vlosses.append(float(self._eval_step(self.params, vi, vt)))
+                    rec["val_loss"] = sum(vlosses) / max(len(vlosses), 1)
+                self.history.append(rec)
+                log(f"{rec}")
+        return self.history
