@@ -1,0 +1,132 @@
+"""Benchmark harness: one JSON line for the driver.
+
+Measures the flagship metric from BASELINE.json: causal flash-attention
+throughput (TFLOP/s per chip) at a GPT-2-class shape on the real TPU.
+``vs_baseline`` is the fraction of the chip's bf16 matmul roofline
+(BASELINE.json target: >=0.70 of roofline attention FLOPs/chip).
+
+Run: python bench.py            (headline metric, one JSON line on stdout)
+     python bench.py --all      (full table on stderr + headline on stdout)
+
+The reference's equivalent is the cycle-count microbench
+(/root/reference/tests/cpp/test_flash_attention.cpp:177-240) which prints
+Cycles= with no asserted thresholds; like it, this is observability.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+# bf16 matmul peak for the attached chip (TPU v5 lite / v5e): ~197 TFLOP/s.
+V5E_PEAK_BF16_TFLOPS = 197.0
+
+
+def _timeit(f, *args, iters: int = 20) -> float:
+    out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _chain_timeit(f, q, k, v, iters: int = 5, depth: int = 8) -> float:
+    """Amortize per-dispatch tunnel latency by chaining calls inside jit."""
+
+    @jax.jit
+    def chained(q, k, v):
+        o = q
+        for _ in range(depth):
+            o = f(o, k, v)
+        return o
+
+    dt = _timeit(chained, q, k, v, iters=iters)
+    return dt / depth
+
+
+def bench_attention_fwd(
+    b=4, h=12, l=4096, d=128, dtype=jnp.bfloat16, causal=True
+) -> dict:
+    from flash_attention_tpu.kernels import flash_attention
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, h, l, d), dtype)
+    k = jax.random.normal(ks[1], (b, h, l, d), dtype)
+    v = jax.random.normal(ks[2], (b, h, l, d), dtype)
+    f = functools.partial(flash_attention, causal=causal)
+    dt = _chain_timeit(f, q, k, v)
+    flops = 4 * b * h * l * l * d * (0.5 if causal else 1.0)
+    return {
+        "config": f"fwd b{b} h{h} L{l} D{d} {jnp.dtype(dtype).name} causal={causal}",
+        "ms": dt * 1e3,
+        "tflops": flops / dt / 1e12,
+    }
+
+
+def bench_attention_bwd(b=4, h=12, l=2048, d=128, dtype=jnp.bfloat16) -> dict:
+    from flash_attention_tpu.kernels import flash_attention
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    q = jax.random.normal(ks[0], (b, h, l, d), dtype)
+    k = jax.random.normal(ks[1], (b, h, l, d), dtype)
+    v = jax.random.normal(ks[2], (b, h, l, d), dtype)
+    g = jax.random.normal(ks[3], (b, h, l, d), dtype)
+
+    grad_fn = jax.jit(
+        jax.grad(
+            lambda q, k, v: jnp.sum(
+                flash_attention(q, k, v).astype(jnp.float32) * g
+            ),
+            argnums=(0, 1, 2),
+        )
+    )
+    dt = _timeit(grad_fn, q, k, v, iters=10)
+    # bwd ~ 2.5x fwd FLOPs (dkv + dq recompute), causal halves
+    flops = 2.5 * 4 * b * h * l * l * d * 0.5
+    return {
+        "config": f"fwd+bwd b{b} h{h} L{l} D{d} {jnp.dtype(dtype).name}",
+        "ms": dt * 1e3,
+        "tflops": flops / dt / 1e12,
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--all", action="store_true")
+    args = parser.parse_args()
+
+    headline = bench_attention_fwd()
+    if args.all:
+        rows = [
+            headline,
+            bench_attention_fwd(l=1024),
+            bench_attention_fwd(l=16384, b=1),
+            bench_attention_fwd(l=32768, b=1, h=8, d=64),
+            bench_attention_bwd(),
+        ]
+        for r in rows:
+            print(f"{r['config']:55s} {r['ms']:8.3f} ms {r['tflops']:7.1f} TFLOP/s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "attention_fwd_tflops_per_chip",
+                "value": round(headline["tflops"], 2),
+                "unit": "TFLOP/s",
+                "vs_baseline": round(headline["tflops"] / V5E_PEAK_BF16_TFLOPS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

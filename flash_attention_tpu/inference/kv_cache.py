@@ -1,0 +1,173 @@
+"""KV cache management for autoregressive decoding.
+
+North-star extension (SURVEY.md §7 stage 6) — the reference has no inference
+engine (its demo only trains; notebook cell 37 benchmarks a forward pass).
+
+Slot-based contiguous cache: [n_layer, slots, kv_heads, max_len, head_dim]
+with per-slot lengths.  Static shapes throughout (XLA-compiled decode).  Two
+write paths: `prefill_write` (one slot, T tokens, dynamic_update_slice) and
+`decode_write` (all slots, 1 token each, vectorized scatter).  Optional
+INT8/FP8 storage: payload + per-token scales, dequantized at attention time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class KVCache:
+    """k, v: [n_layer, slots, kv_heads, max_len, head_dim] payloads;
+    k_scale/v_scale: [n_layer, slots, kv_heads, max_len] or None;
+    lengths: [slots] int32."""
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: jax.Array | None
+    v_scale: jax.Array | None
+    lengths: jax.Array
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.k_scale, self.v_scale, self.lengths), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def slots(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+
+def init_cache(
+    n_layer: int,
+    slots: int,
+    kv_heads: int,
+    max_len: int,
+    head_dim: int,
+    *,
+    dtype=jnp.bfloat16,
+    quant_dtype=None,
+) -> KVCache:
+    shape = (n_layer, slots, kv_heads, max_len, head_dim)
+    store = quant_dtype or dtype
+    scales = jnp.ones(shape[:-1], jnp.float32) if quant_dtype is not None else None
+    return KVCache(
+        jnp.zeros(shape, store),
+        jnp.zeros(shape, store),
+        scales,
+        scales,
+        jnp.zeros((slots,), jnp.int32),
+    )
+
+
+def _quantize_tokens(x: jax.Array, quant_dtype):
+    """Per-token symmetric quantization: x [..., d] -> payload, scales[...]."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1)
+    if quant_dtype == jnp.int8:
+        scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+        payload = jnp.clip(jnp.round(x32 / scale[..., None]), -127, 127).astype(
+            jnp.int8
+        )
+    else:
+        fmax = float(jnp.finfo(quant_dtype).max)
+        scale = jnp.where(amax == 0, 1.0, amax / fmax)
+        payload = (x32 / scale[..., None]).astype(quant_dtype)
+    return payload, scale
+
+
+def prefill_write(
+    cache: KVCache,
+    layer: int,
+    slot: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+) -> KVCache:
+    """Write a fresh prompt's K/V into one slot at position 0.
+
+    k_new, v_new: [kv_heads, T, head_dim].
+    """
+    if cache.quantized:
+        k_pay, k_sc = _quantize_tokens(k_new, cache.k.dtype)
+        v_pay, v_sc = _quantize_tokens(v_new, cache.v.dtype)
+    else:
+        k_pay, v_pay = k_new.astype(cache.k.dtype), v_new.astype(cache.v.dtype)
+        k_sc = v_sc = None
+    zero = jnp.int32(0)
+    at = (jnp.int32(layer), slot, zero, zero, zero)
+    k = jax.lax.dynamic_update_slice(cache.k, k_pay[None, None], at)
+    v = jax.lax.dynamic_update_slice(cache.v, v_pay[None, None], at)
+    ks = vs = None
+    if cache.quantized:
+        at3 = (jnp.int32(layer), slot, zero, zero)
+        ks = jax.lax.dynamic_update_slice(cache.k_scale, k_sc[None, None], at3)
+        vs = jax.lax.dynamic_update_slice(cache.v_scale, v_sc[None, None], at3)
+    return KVCache(k, v, ks, vs, cache.lengths)
+
+
+def decode_write(
+    cache: KVCache,
+    layer: int,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    positions: jax.Array,
+) -> KVCache:
+    """Write one new token per slot: k_new/v_new [slots, kv_heads, head_dim],
+    positions [slots].  Vectorized scatter — the decode hot path."""
+    s = cache.slots
+    hkv = cache.k.shape[2]
+    sl = jnp.arange(s)[:, None]
+    hd = jnp.arange(hkv)[None, :]
+    pos = positions[:, None]
+    if cache.quantized:
+        k_pay, k_sc = _quantize_tokens(k_new, cache.k.dtype)
+        v_pay, v_sc = _quantize_tokens(v_new, cache.v.dtype)
+    else:
+        k_pay, v_pay = k_new.astype(cache.k.dtype), v_new.astype(cache.v.dtype)
+        k_sc = v_sc = None
+    k = cache.k.at[layer, sl, hd, pos].set(k_pay)
+    v = cache.v.at[layer, sl, hd, pos].set(v_pay)
+    ks = vs = None
+    if cache.quantized:
+        ks = cache.k_scale.at[layer, sl, hd, pos].set(k_sc)
+        vs = cache.v_scale.at[layer, sl, hd, pos].set(v_sc)
+    return KVCache(k, v, ks, vs, cache.lengths)
+
+
+def advance_lengths(cache: KVCache, amount) -> KVCache:
+    return dataclasses.replace(cache, lengths=cache.lengths + amount)
+
+
+def set_length(cache: KVCache, slot: jax.Array, length) -> KVCache:
+    return dataclasses.replace(
+        cache, lengths=cache.lengths.at[slot].set(length)
+    )
+
+
+def layer_kv(cache: KVCache, layer: int, dtype=jnp.bfloat16):
+    """K, V (+scales applied) for one layer: [slots, kv_heads, max_len, d].
+
+    For the unquantized cache this is a cheap view; for quantized it
+    dequantizes (the fused-dequant decode kernel avoids this — see
+    inference/decode_attention.py).
+    """
+    k, v = cache.k[layer], cache.v[layer]
+    if cache.quantized:
+        k = (k.astype(jnp.float32) * cache.k_scale[layer][..., None]).astype(dtype)
+        v = (v.astype(jnp.float32) * cache.v_scale[layer][..., None]).astype(dtype)
+    else:
+        k, v = k.astype(dtype), v.astype(dtype)
+    return k, v

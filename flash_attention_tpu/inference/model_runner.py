@@ -1,0 +1,110 @@
+"""GPT forward passes against a KV cache: prefill and decode.
+
+The prefill path reuses the Pallas flash kernel (prompt tokens attend
+causally within the prompt — the cache is empty for a fresh slot), writing
+K/V into the cache as it goes.  The decode path runs one token per slot
+through `decode_attention`.
+
+Weight-only quantized params (QuantizedTensor leaves from the quant layer)
+are supported in both paths via `_matmul`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels.flash_attention import flash_attention
+from ..models.gpt import GPTConfig, _layer_norm
+from ..quant.weights import QuantizedTensor, quantized_matmul
+from . import kv_cache as kvc
+from .decode_attention import decode_attention
+
+
+def _matmul(x, w, b=None):
+    if isinstance(w, QuantizedTensor):
+        return quantized_matmul(x, w, bias=b)
+    y = x @ w.astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def _qkv(x, blk, cfg: GPTConfig):
+    d, h, hkv = cfg.head_dim, cfg.n_head, cfg.kv_heads
+    qkv = _matmul(x, blk["attn"]["wqkv"], blk["attn"]["bqkv"])
+    return jnp.split(qkv, [h * d, (h + hkv) * d], axis=-1)
+
+
+def _mlp(x, blk, cfg: GPTConfig):
+    y = _matmul(x, blk["mlp"]["wfc"], blk["mlp"]["bfc"])
+    y = jax.nn.gelu(y)
+    return _matmul(y, blk["mlp"]["wproj"], blk["mlp"]["bproj"])
+
+
+def prefill(
+    params,
+    tokens: jax.Array,
+    cfg: GPTConfig,
+    cache: kvc.KVCache,
+    slot: jax.Array,
+) -> tuple[kvc.KVCache, jax.Array]:
+    """Run a prompt [T] through the model, filling `slot` of the cache.
+
+    Returns (cache, last-token logits [vocab]).  T is static (bucketed by
+    the scheduler); the slot must be fresh (length 0 semantics).
+    """
+    t = tokens.shape[0]
+    d, h, hkv = cfg.head_dim, cfg.n_head, cfg.kv_heads
+    x = (params["wte"][tokens] + params["wpe"][:t]).astype(cfg.dtype)[None]
+    for li, blk in enumerate(params["blocks"]):
+        xa = _layer_norm(x, blk["ln1"])
+        q, k, v = _qkv(xa, blk, cfg)
+        q = q.reshape(1, t, h, d).transpose(0, 2, 1, 3)
+        k = k.reshape(1, t, hkv, d).transpose(0, 2, 1, 3)
+        v = v.reshape(1, t, hkv, d).transpose(0, 2, 1, 3)
+        cache = kvc.prefill_write(cache, li, slot, k[0], v[0])
+        y = flash_attention(q, k, v, causal=True)
+        y = y.transpose(0, 2, 1, 3).reshape(1, t, h * d)
+        x = x + _matmul(y, blk["attn"]["wo"], blk["attn"]["bo"])
+        x = x + _mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
+    x = _layer_norm(x, params["lnf"])
+    logits = (x[0, -1] @ params["wte"].astype(x.dtype).T).astype(jnp.float32)
+    cache = kvc.set_length(cache, slot, t)
+    return cache, logits
+
+
+def decode_step(
+    params,
+    tokens: jax.Array,
+    cfg: GPTConfig,
+    cache: kvc.KVCache,
+    active: jax.Array | None = None,
+) -> tuple[kvc.KVCache, jax.Array]:
+    """One decode step for every slot: tokens [slots] -> logits [slots, vocab].
+
+    Inactive slots compute garbage (static shapes); `active` [slots] bool
+    gates their length advance so stale slots don't creep; the scheduler
+    discards their logits.
+    """
+    s = cache.slots
+    d, h, hkv = cfg.head_dim, cfg.n_head, cfg.kv_heads
+    positions = jnp.clip(cache.lengths, 0, cfg.block_size - 1)
+    x = (params["wte"][tokens] + params["wpe"][positions]).astype(cfg.dtype)[
+        :, None
+    ]  # [S, 1, E]
+    for li, blk in enumerate(params["blocks"]):
+        xa = _layer_norm(x, blk["ln1"])
+        q, k, v = _qkv(xa, blk, cfg)
+        q = q.reshape(s, h, d)
+        k = k.reshape(s, hkv, d)
+        v = v.reshape(s, hkv, d)
+        cache = kvc.decode_write(cache, li, k, v, positions)
+        y = decode_attention(q, cache, li)
+        x = x + _matmul(y.reshape(s, 1, h * d), blk["attn"]["wo"], blk["attn"]["bo"])
+        x = x + _mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
+    x = _layer_norm(x, params["lnf"])
+    logits = (x[:, 0] @ params["wte"].astype(x.dtype).T).astype(jnp.float32)
+    step = 1 if active is None else active.astype(jnp.int32)
+    cache = kvc.advance_lengths(cache, step)
+    return cache, logits

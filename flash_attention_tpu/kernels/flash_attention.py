@@ -72,7 +72,9 @@ def _mask_for_block(
     rows: int,
     bq: int,
     bkv: int,
-    kv_padded: bool,
+    *,
+    causal: bool,
+    kv_mask: bool,
 ):
     """Combined causal + kv-length mask for one (i, j) tile, or None.
 
@@ -81,18 +83,62 @@ def _mask_for_block(
     all q heads in the GQA group share positions, so the row position is the
     row index modulo bq.
     """
-    if not params.causal and not kv_padded:
+    if not causal and not kv_mask:
         return None
     row_pos = jax.lax.broadcasted_iota(jnp.int32, (rows, bkv), 0) % bq + i * bq
     col_pos = jax.lax.broadcasted_iota(jnp.int32, (rows, bkv), 1) + j * bkv
     mask = None
-    if params.causal:
+    if causal:
         offset = params.kv_len - params.q_len
         mask = col_pos <= row_pos + offset
-    if kv_padded:
-        kv_mask = col_pos < params.kv_len
-        mask = kv_mask if mask is None else mask & kv_mask
+    if kv_mask:
+        pad_mask = col_pos < params.kv_len
+        mask = pad_mask if mask is None else mask & pad_mask
     return mask
+
+
+def _fully_visible(params: _Params, i, j, bq: int, bkv: int):
+    """Causal block entirely below the diagonal — no per-element mask needed
+    (the converse of the skip predicate: mask work only on diagonal-crossing
+    blocks)."""
+    offset = params.kv_len - params.q_len
+    return (j + 1) * bkv - 1 <= i * bq + offset
+
+
+def _dispatch_block(params: _Params, i, j, bq, bkv, nj, kv_padded, body):
+    """Run `body(causal_mask, kv_mask)` predicated on the causal structure:
+    skip above-diagonal blocks, apply the mask only where the diagonal or the
+    kv padding boundary crosses the tile (reference skip: cpp …:244)."""
+    if params.causal:
+        run = _run_cond(params, i, j, bq, bkv)
+        visible = _fully_visible(params, i, j, bq, bkv)
+        if kv_padded:
+            needs_mask = jnp.logical_or(
+                jnp.logical_not(visible), j == nj - 1
+            )
+        else:
+            needs_mask = jnp.logical_not(visible)
+
+        @pl.when(jnp.logical_and(run, needs_mask))
+        def _():
+            body(True, kv_padded)
+
+        @pl.when(jnp.logical_and(run, jnp.logical_not(needs_mask)))
+        def _():
+            body(False, False)
+
+    elif kv_padded:
+
+        @pl.when(j == nj - 1)
+        def _():
+            body(False, True)
+
+        @pl.when(j != nj - 1)
+        def _():
+            body(False, False)
+
+    else:
+        body(False, False)
 
 
 def _run_cond(params: _Params, i, j, bq: int, bkv: int):
@@ -101,6 +147,18 @@ def _run_cond(params: _Params, i, j, bq: int, bkv: int):
     q_len != kv_len (queries aligned to the end of the KV sequence)."""
     offset = params.kv_len - params.q_len
     return j * bkv <= (i + 1) * bq - 1 + offset
+
+
+def _last_kv_block(params: _Params, nj: int, bq: int, bkv: int, i):
+    """Last kv block index that q block i attends to (causal)."""
+    offset = params.kv_len - params.q_len
+    return jnp.clip(((i + 1) * bq - 1 + offset) // bkv, 0, nj - 1)
+
+
+def _first_q_block(params: _Params, ni: int, bq: int, bkv: int, j):
+    """First q block index that attends to kv block j (causal)."""
+    offset = params.kv_len - params.q_len
+    return jnp.clip((j * bkv - offset) // bq, 0, ni - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -133,7 +191,7 @@ def _fwd_kernel(
         l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
         acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
-    def body():
+    def body(causal_mask: bool, kv_mask: bool):
         q = q_ref[0].reshape(rows, d)
         k = k_ref[0]
         # s = q @ k^T  "attn_ij = q_i @ k_j.T" (cf. …cpp:254)
@@ -141,7 +199,9 @@ def _fwd_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         s = s * params.sm_scale
-        mask = _mask_for_block(params, i, j, rows, bq, bkv, kv_padded)
+        mask = _mask_for_block(
+            params, i, j, rows, bq, bkv, causal=causal_mask, kv_mask=kv_mask
+        )
         if mask is not None:
             s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
 
@@ -159,14 +219,7 @@ def _fwd_kernel(
             p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
         )
 
-    if params.causal:
-
-        @pl.when(_run_cond(params, i, j, bq, bkv))
-        def _():
-            body()
-
-    else:
-        body()
+    _dispatch_block(params, i, j, bq, bkv, nj, kv_padded, body)
 
     @pl.when(j == nj - 1)
     def _store():
@@ -190,13 +243,26 @@ def _fwd(params: _Params, q, k, v):
     kernel = functools.partial(
         _fwd_kernel, params=params, nj=nj, kv_padded=kv_padded
     )
+    if params.causal:
+        # Above-diagonal cells re-reference the last needed kv block: the
+        # index map not changing means Pallas skips the DMA entirely, so
+        # skipped cells cost no HBM bandwidth (the block-skip analog of the
+        # reference's If(doBlock) also skipping the dynamicSlice copies).
+        def kv_index(b, i, j):
+            return (b, jnp.minimum(j, _last_kv_block(params, nj, bq, bkv, i)), 0)
+
+    else:
+
+        def kv_index(b, i, j):
+            return (b, j, 0)
+
     return pl.pallas_call(
         kernel,
         grid=(bh, ni, nj),
         in_specs=[
             pl.BlockSpec((1, group, bq, d), lambda b, i, j: (b, 0, i, 0)),
-            pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bkv, d), kv_index),
+            pl.BlockSpec((1, bkv, d), kv_index),
         ],
         out_specs=[
             pl.BlockSpec((1, group, bq, d), lambda b, i, j: (b, 0, i, 0)),
@@ -223,7 +289,9 @@ def _fwd(params: _Params, q, k, v):
 # ---------------------------------------------------------------------------
 
 
-def _recompute_p(params, q_ref, k_ref, lse_ref, i, j, rows, d, bq, bkv, kv_padded):
+def _recompute_p(
+    params, q_ref, k_ref, lse_ref, i, j, rows, d, bq, bkv, causal_mask, kv_mask
+):
     """attn = exp(q @ k^T * scale - lse), masked.  (cf. …cpp:457-459)"""
     q = q_ref[0].reshape(rows, d)
     k = k_ref[0]
@@ -231,7 +299,9 @@ def _recompute_p(params, q_ref, k_ref, lse_ref, i, j, rows, d, bq, bkv, kv_padde
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     s = s * params.sm_scale
-    mask = _mask_for_block(params, i, j, rows, bq, bkv, kv_padded)
+    mask = _mask_for_block(
+        params, i, j, rows, bq, bkv, causal=causal_mask, kv_mask=kv_mask
+    )
     if mask is not None:
         s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
     lse = lse_ref[0].reshape(rows, 1)
@@ -252,6 +322,7 @@ def _dkv_kernel(
     *,
     params: _Params,
     ni: int,
+    nj: int,
     kv_padded: bool,
 ):
     """dK/dV: kv block pinned, iterate q blocks — the reference's kv-outer /
@@ -266,9 +337,10 @@ def _dkv_kernel(
         dk_scr[...] = jnp.zeros(dk_scr.shape, jnp.float32)
         dv_scr[...] = jnp.zeros(dv_scr.shape, jnp.float32)
 
-    def body():
+    def body(causal_mask: bool, kv_mask: bool):
         p, q, _ = _recompute_p(
-            params, q_ref, k_ref, lse_ref, i, j, rows, d, bq, bkv, kv_padded
+            params, q_ref, k_ref, lse_ref, i, j, rows, d, bq, bkv,
+            causal_mask, kv_mask,
         )
         do = do_ref[0].reshape(rows, d)
         # dv += attn^T @ dO  (cf. …cpp:462)
@@ -293,14 +365,7 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    if params.causal:
-
-        @pl.when(_run_cond(params, i, j, bq, bkv))
-        def _():
-            body()
-
-    else:
-        body()
+    _dispatch_block(params, i, j, bq, bkv, nj, kv_padded, body)
 
     @pl.when(i == ni - 1)
     def _store():
@@ -332,9 +397,10 @@ def _dq_kernel(
     def _init():
         dq_scr[...] = jnp.zeros(dq_scr.shape, jnp.float32)
 
-    def body():
+    def body(causal_mask: bool, kv_mask: bool):
         p, _, k = _recompute_p(
-            params, q_ref, k_ref, lse_ref, i, j, rows, d, bq, bkv, kv_padded
+            params, q_ref, k_ref, lse_ref, i, j, rows, d, bq, bkv,
+            causal_mask, kv_mask,
         )
         do = do_ref[0].reshape(rows, d)
         dp = jax.lax.dot_general(
@@ -348,14 +414,7 @@ def _dq_kernel(
             ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         )
 
-    if params.causal:
-
-        @pl.when(_run_cond(params, i, j, bq, bkv))
-        def _():
-            body()
-
-    else:
-        body()
+    _dispatch_block(params, i, j, bq, bkv, nj, kv_padded, body)
 
     @pl.when(j == nj - 1)
     def _store():
@@ -369,18 +428,28 @@ def _bwd_dkv(params: _Params, q, k, v, do, lse, di):
     ni, nj = lq // bq, lk // bkv
     kv_padded = lk != params.kv_len
     kernel = functools.partial(
-        _dkv_kernel, params=params, ni=ni, kv_padded=kv_padded
+        _dkv_kernel, params=params, ni=ni, nj=nj, kv_padded=kv_padded
     )
+    if params.causal:
+        # Early (skipped) q blocks re-reference the first needed block: no DMA.
+        def qi(b, j, i):
+            return jnp.maximum(i, _first_q_block(params, ni, bq, bkv, j))
+
+    else:
+
+        def qi(b, j, i):
+            return i
+
     return pl.pallas_call(
         kernel,
         grid=(bh, nj, ni),
         in_specs=[
-            pl.BlockSpec((1, group, bq, d), lambda b, j, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, group, bq, d), lambda b, j, i: (b, 0, qi(b, j, i), 0)),
             pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),
             pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),
-            pl.BlockSpec((1, group, bq, d), lambda b, j, i: (b, 0, i, 0)),
-            pl.BlockSpec((1, group, bq), lambda b, j, i: (b, 0, i)),
-            pl.BlockSpec((1, group, bq), lambda b, j, i: (b, 0, i)),
+            pl.BlockSpec((1, group, bq, d), lambda b, j, i: (b, 0, qi(b, j, i), 0)),
+            pl.BlockSpec((1, group, bq), lambda b, j, i: (b, 0, qi(b, j, i))),
+            pl.BlockSpec((1, group, bq), lambda b, j, i: (b, 0, qi(b, j, i))),
         ],
         out_specs=[
             pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),
@@ -410,13 +479,23 @@ def _bwd_dq(params: _Params, q, k, v, do, lse, di):
     kernel = functools.partial(
         _dq_kernel, params=params, nj=nj, kv_padded=kv_padded
     )
+    if params.causal:
+
+        def kv_index(b, i, j):
+            return (b, jnp.minimum(j, _last_kv_block(params, nj, bq, bkv, i)), 0)
+
+    else:
+
+        def kv_index(b, i, j):
+            return (b, j, 0)
+
     return pl.pallas_call(
         kernel,
         grid=(bh, ni, nj),
         in_specs=[
             pl.BlockSpec((1, group, bq, d), lambda b, i, j: (b, 0, i, 0)),
-            pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bkv, d), kv_index),
+            pl.BlockSpec((1, bkv, d), kv_index),
             pl.BlockSpec((1, group, bq, d), lambda b, i, j: (b, 0, i, 0)),
             pl.BlockSpec((1, group, bq), lambda b, i, j: (b, 0, i)),
             pl.BlockSpec((1, group, bq), lambda b, i, j: (b, 0, i)),

@@ -1,0 +1,248 @@
+"""Quantized-KV flash attention: INT8/FP8 KV dequantized inside the kernel.
+
+North-star extension (BASELINE.json: "FP8/INT8 quantized KV-cache
+dequantized inside the attention tile loop, never materializing the attention
+matrix in HBM").  KV payloads stream from HBM at 1 byte/elem; the per-token
+scales fold into VPU ops the kernel already does:
+
+  s = q @ (k_int * ks)^T  ==  (q @ k_int^T) * ks[col]     (scale the scores)
+  o += p @ (v_int * vs)   ==  (p * vs[col]) @ v_int       (scale the weights)
+
+so dequantization costs two (rows, bkv) multiplies that fuse with masking and
+the exp — no extra (bkv, d) traffic at all.  Forward-only (inference path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import use_interpret
+from ..kernels.block_sizes import MIN_BLOCK, BlockSizes, default_blocks
+from ..kernels.flash_attention import (
+    _dispatch_block,
+    _mask_for_block,
+    _Params,
+    _round_up,
+)
+from ..kernels.vanilla import DEFAULT_MASK_VALUE
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedKV:
+    """Per-token symmetric-quantized K/V: payload [B,H,L,D], scales [B,H,L]."""
+
+    k: jax.Array
+    k_scale: jax.Array
+    v: jax.Array
+    v_scale: jax.Array
+
+    def tree_flatten(self):
+        return (self.k, self.k_scale, self.v, self.v_scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def kv_len(self) -> int:
+        return self.k.shape[2]
+
+
+def quantize_kv(
+    k: jax.Array, v: jax.Array, *, dtype=jnp.int8
+) -> QuantizedKV:
+    """Per-token symmetric quantization of K and V ([B, H, L, D])."""
+
+    def q1(x):
+        x32 = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(x32), axis=-1)
+        if dtype == jnp.int8:
+            scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+            payload = jnp.clip(
+                jnp.round(x32 / scale[..., None]), -127, 127
+            ).astype(jnp.int8)
+        else:  # fp8
+            fmax = float(jnp.finfo(dtype).max)
+            scale = jnp.where(amax == 0, 1.0, amax / fmax)
+            payload = (x32 / scale[..., None]).astype(dtype)
+        return payload, scale
+
+    kq, ks = q1(k)
+    vq, vs = q1(v)
+    return QuantizedKV(kq, ks, vq, vs)
+
+
+def dequantize_kv(qkv: QuantizedKV, dtype=jnp.bfloat16):
+    k = (qkv.k.astype(jnp.float32) * qkv.k_scale[..., None]).astype(dtype)
+    v = (qkv.v.astype(jnp.float32) * qkv.v_scale[..., None]).astype(dtype)
+    return k, v
+
+
+def _fwd_quant_kernel(
+    q_ref,
+    k_ref,
+    ks_ref,
+    v_ref,
+    vs_ref,
+    o_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    params: _Params,
+    nj: int,
+    kv_padded: bool,
+):
+    bq, bkv = params.blocks.block_q, params.blocks.block_kv
+    group, d = q_ref.shape[1], q_ref.shape[3]
+    rows = group * bq
+    i, j = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    def body(causal_mask: bool, kv_mask: bool):
+        q = q_ref[0].reshape(rows, d)
+        k = k_ref[0].astype(q.dtype)  # int8/fp8 -> compute dtype, unscaled
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # fold K dequant scale into the scores (per kv-token column)
+        s = s * (ks_ref[0].reshape(1, bkv) * params.sm_scale)
+        mask = _mask_for_block(
+            params, i, j, rows, bq, bkv, causal=causal_mask, kv_mask=kv_mask
+        )
+        if mask is not None:
+            s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, 0:1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+        # fold V dequant scale into the attention weights (per kv-token row)
+        p_scaled = p * vs_ref[0].reshape(1, bkv)
+        acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + jax.lax.dot(
+            p_scaled.astype(q.dtype),
+            v_ref[0].astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    _dispatch_block(params, i, j, bq, bkv, nj, kv_padded, body)
+
+    @pl.when(j == nj - 1)
+    def _store():
+        l = l_scr[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[...] = (
+            (acc_scr[...] / l_safe).reshape(1, group, bq, d).astype(o_ref.dtype)
+        )
+
+
+def flash_attention_kv_quant(
+    q: jax.Array,
+    kv: QuantizedKV,
+    *,
+    causal: bool = True,
+    sm_scale: float | None = None,
+    block_sizes: BlockSizes | None = None,
+) -> jax.Array:
+    """Flash attention over a quantized KV cache.
+
+    q: [B, Hq, Lq, D] bf16/f32; kv: QuantizedKV with [B, Hkv, Lkv, D]
+    int8/fp8 payloads.  Forward-only.
+    """
+    b, hq, lq, d = q.shape
+    _, hkv, lk, _ = kv.k.shape
+    group = hq // hkv
+    if sm_scale is None:
+        sm_scale = float(d) ** -0.5
+    if lq < MIN_BLOCK // 8 or lk < MIN_BLOCK:
+        # dense fallback for tiny shapes
+        from ..kernels.vanilla import vanilla_attention
+
+        k_d, v_d = dequantize_kv(kv, dtype=q.dtype)
+        if group > 1:
+            k_d = jnp.repeat(k_d, group, axis=1)
+            v_d = jnp.repeat(v_d, group, axis=1)
+        return vanilla_attention(q, k_d, v_d, causal=causal, sm_scale=sm_scale)
+
+    if block_sizes is None:
+        block_sizes = default_blocks(lq, lk, d)
+    block_sizes = dataclasses.replace(
+        block_sizes,
+        block_q=min(block_sizes.block_q, _round_up(lq, MIN_BLOCK)),
+        block_kv=min(block_sizes.block_kv, _round_up(lk, MIN_BLOCK)),
+    )
+    params = _Params(
+        sm_scale=float(sm_scale),
+        causal=causal,
+        q_len=lq,
+        kv_len=lk,
+        blocks=block_sizes,
+    )
+    bq, bkv = block_sizes.block_q, block_sizes.block_kv
+    lqp, lkp = _round_up(lq, bq), _round_up(lk, bkv)
+    dp = _round_up(d, MIN_BLOCK)
+    k_q, ks, v_q, vs = kv.k, kv.k_scale, kv.v, kv.v_scale
+    if lqp != lq or dp != d:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, lqp - lq), (0, dp - d)))
+    if lkp != lk or dp != d:
+        k_q = jnp.pad(k_q, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
+        v_q = jnp.pad(v_q, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
+        ks = jnp.pad(ks, ((0, 0), (0, 0), (0, lkp - lk)))
+        vs = jnp.pad(vs, ((0, 0), (0, 0), (0, lkp - lk)))
+
+    bh = b * hkv
+    q4 = q.reshape(bh, group, lqp, dp)
+    k3, v3 = k_q.reshape(bh, lkp, dp), v_q.reshape(bh, lkp, dp)
+    # scales ride as [bh, 1, L] so the block's trailing dims are (1, bkv) —
+    # TPU requires last-two block dims (8k, 128k) or equal-to-array.
+    ks2 = ks.reshape(bh, 1, lkp).astype(jnp.float32)
+    vs2 = vs.reshape(bh, 1, lkp).astype(jnp.float32)
+    ni, nj = lqp // bq, lkp // bkv
+    kv_padded = lkp != lk
+
+    kernel = functools.partial(
+        _fwd_quant_kernel, params=params, nj=nj, kv_padded=kv_padded
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh, ni, nj),
+        in_specs=[
+            pl.BlockSpec((1, group, bq, dp), lambda b, i, j: (b, 0, i, 0)),
+            pl.BlockSpec((1, bkv, dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, j)),
+            pl.BlockSpec((1, bkv, dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, group, bq, dp), lambda b, i, j: (b, 0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, group, lqp, dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((group * bq, 128), jnp.float32),
+            pltpu.VMEM((group * bq, 128), jnp.float32),
+            pltpu.VMEM((group * bq, dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=use_interpret(),
+    )(q4, k3, ks2, v3, vs2)
+    out = out.reshape(b, hq, lqp, dp)
+    if lqp != lq or dp != d:
+        out = out[:, :, :lq, :d]
+    return out

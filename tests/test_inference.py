@@ -1,0 +1,114 @@
+"""Inference engine tests: KV-cache decode parity with full recompute,
+quantized cache, and continuous batching correctness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_tpu.inference import InferenceEngine, init_cache
+from flash_attention_tpu.inference.model_runner import decode_step, prefill
+from flash_attention_tpu.models import gpt
+
+CFG = gpt.GPTConfig(
+    vocab_size=64,
+    block_size=256,
+    n_layer=2,
+    n_head=4,
+    n_embd=64,
+    dropout=0.0,
+    dtype=jnp.float32,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return gpt.init_params(jax.random.PRNGKey(0), CFG)
+
+
+def _greedy_ref(params, prompt, n_new):
+    """Reference: full-recompute greedy decoding via model.forward."""
+    toks = list(prompt)
+    for _ in range(n_new):
+        logits = gpt.forward(
+            params, jnp.asarray([toks], jnp.int32), CFG
+        )[0, -1]
+        toks.append(int(jnp.argmax(logits)))
+    return toks[len(prompt) :]
+
+
+def test_prefill_decode_matches_full_recompute(params):
+    """Cached decode must produce the same greedy tokens as recomputing the
+    full forward each step (exactness of the KV-cache path)."""
+    prompt = [1, 5, 9, 2, 7, 3, 8, 4]  # length 8 == bucket, no padding
+    ref = _greedy_ref(params, prompt, 8)
+
+    cache = init_cache(CFG.n_layer, 2, CFG.kv_heads, 256, CFG.head_dim, dtype=CFG.dtype)
+    cache, logits = prefill(
+        params, jnp.asarray(prompt, jnp.int32), CFG, cache, jnp.int32(0)
+    )
+    toks = [int(jnp.argmax(logits))]
+    next_tok = jnp.zeros((2,), jnp.int32).at[0].set(toks[0])
+    active = jnp.asarray([True, False])
+    for _ in range(7):
+        cache, logits = decode_step(params, next_tok, CFG, cache, active)
+        toks.append(int(jnp.argmax(logits[0])))
+        next_tok = next_tok.at[0].set(toks[-1])
+    assert toks == ref, (toks, ref)
+
+
+def test_engine_greedy_matches_reference(params):
+    engine = InferenceEngine(params, CFG, slots=2, max_len=256)
+    prompt = [3, 1, 4, 1, 5]
+    uid = engine.submit(prompt, max_new_tokens=6)
+    finished = engine.run()
+    assert len(finished) == 1 and finished[0].uid == uid
+    ref = _greedy_ref(params, prompt, 6)
+    assert finished[0].output == ref, (finished[0].output, ref)
+    assert finished[0].ttft is not None and finished[0].ttft >= 0
+
+
+def test_engine_continuous_batching(params):
+    """More requests than slots: all finish, each matching its reference."""
+    engine = InferenceEngine(params, CFG, slots=2, max_len=256)
+    prompts = [[1, 2, 3], [4, 5], [6, 7, 8, 9], [10], [11, 12]]
+    uids = [engine.submit(p, max_new_tokens=4) for p in prompts]
+    finished = engine.run()
+    assert sorted(r.uid for r in finished) == sorted(uids)
+    by_uid = {r.uid: r for r in finished}
+    for p, uid in zip(prompts, uids):
+        assert by_uid[uid].output == _greedy_ref(params, p, 4), p
+    assert engine.stats["tokens_out"] == 5 * 4
+
+
+def test_engine_quantized_cache_close(params):
+    """INT8 KV cache: greedy outputs should match fp32 cache for most steps
+    (tiny random model logits can flip on near-ties; require prefix match)."""
+    engine = InferenceEngine(
+        params, CFG, slots=2, max_len=256, kv_quant_dtype=jnp.int8
+    )
+    prompt = [3, 1, 4, 1, 5]
+    engine.submit(prompt, max_new_tokens=4)
+    out = engine.run()[0].output
+    ref = _greedy_ref(params, prompt, 4)
+    assert out[0] == ref[0], (out, ref)
+
+
+def test_engine_eos_stops(params):
+    engine = InferenceEngine(params, CFG, slots=1, max_len=256)
+    prompt = [1, 2, 3, 4]
+    ref = _greedy_ref(params, prompt, 8)
+    # pick the first token value whose first occurrence is not at index 0
+    eos, stop = next(
+        (tok, i) for i, tok in enumerate(ref) if tok != ref[0]
+    )
+    engine.submit(prompt, max_new_tokens=8, eos_id=eos)
+    out = engine.run()[0].output
+    assert out == ref[: stop + 1], (out, ref, eos)
+
+
+def test_engine_max_one_token(params):
+    engine = InferenceEngine(params, CFG, slots=1, max_len=256)
+    engine.submit([1, 2, 3], max_new_tokens=1)
+    out = engine.run()[0].output
+    assert out == _greedy_ref(params, [1, 2, 3], 1)
