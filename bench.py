@@ -29,17 +29,23 @@ import jax.numpy as jnp
 V5E_PEAK_BF16_TFLOPS = 197.0
 
 
-def _timeit(f, *args, iters: int = 20) -> float:
-    out = f(*args)
-    jax.block_until_ready(out)
+def _timeit(f, *args, iters: int = 10) -> float:
+    """Time a jitted function that RETURNS A SCALAR.
+
+    block_until_ready does not reliably synchronize through tunneled TPU
+    platforms (observed on axon), so timing forces a host roundtrip by
+    fetching the scalar with float().
+    """
+    s = f(*args)
+    float(s)  # compile + sync
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
+        s = f(*args)
+    float(s)  # device queue drains before the scalar arrives
     return (time.perf_counter() - t0) / iters
 
 
-def _chain_timeit(f, q, k, v, iters: int = 5, depth: int = 8) -> float:
+def _chain_timeit(f, q, k, v, iters: int = 3, depth: int = 8) -> float:
     """Amortize per-dispatch tunnel latency by chaining calls inside jit."""
 
     @jax.jit
@@ -47,7 +53,7 @@ def _chain_timeit(f, q, k, v, iters: int = 5, depth: int = 8) -> float:
         o = q
         for _ in range(depth):
             o = f(o, k, v)
-        return o
+        return jnp.sum(o.astype(jnp.float32))
 
     dt = _timeit(chained, q, k, v, iters=iters)
     return dt / depth
@@ -81,15 +87,19 @@ def bench_attention_bwd(b=4, h=12, l=2048, d=128, dtype=jnp.bfloat16) -> dict:
     v = jax.random.normal(ks[2], (b, h, l, d), dtype)
     g = jax.random.normal(ks[3], (b, h, l, d), dtype)
 
-    grad_fn = jax.jit(
-        jax.grad(
-            lambda q, k, v: jnp.sum(
-                flash_attention(q, k, v).astype(jnp.float32) * g
-            ),
-            argnums=(0, 1, 2),
-        )
+    grad_fn = jax.grad(
+        lambda q, k, v: jnp.sum(
+            flash_attention(q, k, v).astype(jnp.float32) * g
+        ),
+        argnums=(0, 1, 2),
     )
-    dt = _timeit(grad_fn, q, k, v, iters=10)
+
+    @jax.jit
+    def step(q, k, v):
+        dq, dk, dv = grad_fn(q, k, v)
+        return jnp.sum(dq.astype(jnp.float32)) + jnp.sum(dk.astype(jnp.float32))
+
+    dt = _timeit(step, q, k, v, iters=10)
     # bwd ~ 2.5x fwd FLOPs (dkv + dq recompute), causal halves
     flops = 2.5 * 4 * b * h * l * l * d * 0.5
     return {

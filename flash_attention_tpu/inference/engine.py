@@ -70,32 +70,44 @@ class InferenceEngine:
     def __init__(
         self,
         params,
-        cfg: GPTConfig,
+        cfg,
         *,
         slots: int = 8,
         max_len: int | None = None,
         kv_quant_dtype=None,
         rng_seed: int = 0,
+        prefill_fn=None,
+        decode_fn=None,
     ):
+        """cfg: a GPTConfig (default architecture) or any config whose
+        (n_layer, head_dim, dtype) fields exist; for non-GPT architectures
+        pass `prefill_fn(params, tokens, cfg, cache, slot)` and
+        `decode_fn(params, tokens, cfg, cache, active)` (e.g. the llama
+        module's prefill/decode_step)."""
         self.params = params
         self.cfg = cfg
         self.slots = slots
-        self.max_len = max_len or cfg.block_size
+        self.max_len = max_len or getattr(cfg, "block_size", None) or cfg.max_seq
+        kv_heads = (
+            cfg.kv_heads if hasattr(cfg, "kv_heads") else cfg.n_kv_head
+        )
         self.cache = kvc.init_cache(
             cfg.n_layer,
             slots,
-            cfg.kv_heads,
+            kv_heads,
             self.max_len,
             cfg.head_dim,
             dtype=cfg.dtype,
             quant_dtype=kv_quant_dtype,
         )
         self.buckets = _buckets(self.max_len)
+        _prefill_impl = prefill_fn or prefill
+        _decode_impl = decode_fn or decode_step
         self._prefill = jax.jit(
-            lambda p, toks, cache, slot: prefill(p, toks, cfg, cache, slot)
+            lambda p, toks, cache, slot: _prefill_impl(p, toks, cfg, cache, slot)
         )
         self._decode = jax.jit(
-            lambda p, toks, cache, active: decode_step(p, toks, cfg, cache, active)
+            lambda p, toks, cache, active: _decode_impl(p, toks, cfg, cache, active)
         )
         self.queue: deque[Request] = deque()
         self.running: dict[int, Request] = {}  # slot -> request

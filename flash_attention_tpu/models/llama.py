@@ -1,0 +1,213 @@
+"""Llama-family transformer: RMSNorm + RoPE + SwiGLU + GQA, pure JAX.
+
+Second model family (BASELINE.json configs: "Llama-2 7B GQA prefill+decode,
+INT4 weight-only + FP8 KV").  The reference only exercises nanoGPT; this
+covers modern decoder architecture features the flash kernel must serve:
+rotary embeddings (cache-aware positions), grouped-query attention (native in
+the kernel), gated MLPs, untied LM head.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels.flash_attention import flash_attention
+from ..inference import kv_cache as kvc
+from ..inference.decode_attention import decode_attention
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    n_layer: int = 32
+    n_head: int = 32
+    n_kv_head: int = 32
+    n_embd: int = 4096
+    intermediate: int = 11008
+    max_seq: int = 4096
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_head
+
+
+LLAMA2_7B = LlamaConfig()
+LLAMA3_8B = LlamaConfig(
+    vocab_size=128256,
+    n_kv_head=8,
+    intermediate=14336,
+    max_seq=8192,
+    rope_theta=500000.0,
+)
+TINY_LLAMA = LlamaConfig(
+    vocab_size=64,
+    n_layer=2,
+    n_head=4,
+    n_kv_head=2,
+    n_embd=64,
+    intermediate=128,
+    max_seq=256,
+    dtype=jnp.float32,
+)
+
+
+def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
+    d = cfg.head_dim
+    keys = iter(jax.random.split(key, 3 + 7 * cfg.n_layer))
+
+    def lin(fan_in, fan_out, std=0.02):
+        return jax.random.normal(next(keys), (fan_in, fan_out), jnp.float32) * std
+
+    def block():
+        return {
+            "attn_norm": jnp.ones(cfg.n_embd),
+            "wq": lin(cfg.n_embd, cfg.n_head * d),
+            "wk": lin(cfg.n_embd, cfg.n_kv_head * d),
+            "wv": lin(cfg.n_embd, cfg.n_kv_head * d),
+            "wo": lin(cfg.n_head * d, cfg.n_embd),
+            "mlp_norm": jnp.ones(cfg.n_embd),
+            "w_gate": lin(cfg.n_embd, cfg.intermediate),
+            "w_up": lin(cfg.n_embd, cfg.intermediate),
+            "w_down": lin(cfg.intermediate, cfg.n_embd),
+        }
+
+    return {
+        "wte": jax.random.normal(next(keys), (cfg.vocab_size, cfg.n_embd)) * 0.02,
+        "blocks": [block() for _ in range(cfg.n_layer)],
+        "norm_f": jnp.ones(cfg.n_embd),
+        "lm_head": lin(cfg.n_embd, cfg.vocab_size),
+    }
+
+
+def _rms_norm(x, gain, eps):
+    x32 = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    return (x32 * scale * gain).astype(x.dtype)
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float):
+    """cos/sin tables for the given positions: [..., head_dim/2]."""
+    half = head_dim // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    angles = positions[..., None].astype(jnp.float32) * freqs
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x [..., seq, head_dim]; cos/sin [..., seq, head_dim/2] (split halves)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+def _project_qkv(x, blk, cfg: LlamaConfig, b, t):
+    d = cfg.head_dim
+    q = (x @ blk["wq"].astype(x.dtype)).reshape(b, t, cfg.n_head, d)
+    k = (x @ blk["wk"].astype(x.dtype)).reshape(b, t, cfg.n_kv_head, d)
+    v = (x @ blk["wv"].astype(x.dtype)).reshape(b, t, cfg.n_kv_head, d)
+    return (
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+    )
+
+
+def _mlp(x, blk):
+    gate = jax.nn.silu(x @ blk["w_gate"].astype(x.dtype))
+    up = x @ blk["w_up"].astype(x.dtype)
+    return (gate * up) @ blk["w_down"].astype(x.dtype)
+
+
+def forward(params: Params, idx: jax.Array, cfg: LlamaConfig) -> jax.Array:
+    """Token ids [B, T] -> logits [B, T, vocab] (training / scoring path)."""
+    b, t = idx.shape
+    x = params["wte"][idx].astype(cfg.dtype)
+    cos, sin = rope_cos_sin(jnp.arange(t), cfg.head_dim, cfg.rope_theta)
+    cos, sin = cos[None, None], sin[None, None]  # [1, 1, T, half]
+    for blk in params["blocks"]:
+        xa = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        q, k, v = _project_qkv(xa, blk, cfg, b, t)
+        q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
+        y = flash_attention(q, k, v, causal=True)
+        y = y.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_head * cfg.head_dim)
+        x = x + y @ blk["wo"].astype(x.dtype)
+        x = x + _mlp(_rms_norm(x, blk["mlp_norm"], cfg.rms_eps), blk)
+    x = _rms_norm(x, params["norm_f"], cfg.rms_eps)
+    return (x @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
+
+
+def loss_fn(params, idx, targets, cfg: LlamaConfig) -> jax.Array:
+    logits = forward(params, idx, cfg)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(
+        jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    )
+
+
+# ----------------------------------------------------------------- inference
+
+
+def prefill(
+    params: Params,
+    tokens: jax.Array,
+    cfg: LlamaConfig,
+    cache: kvc.KVCache,
+    slot: jax.Array,
+) -> tuple[kvc.KVCache, jax.Array]:
+    """Prompt [T] -> (cache, last-token logits).  RoPE-rotated K is cached
+    (standard practice: rotation depends only on absolute position)."""
+    t = tokens.shape[0]
+    x = params["wte"][tokens].astype(cfg.dtype)[None]
+    cos, sin = rope_cos_sin(jnp.arange(t), cfg.head_dim, cfg.rope_theta)
+    cos, sin = cos[None, None], sin[None, None]
+    for li, blk in enumerate(params["blocks"]):
+        xa = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        q, k, v = _project_qkv(xa, blk, cfg, 1, t)
+        q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
+        cache = kvc.prefill_write(cache, li, slot, k[0], v[0])
+        y = flash_attention(q, k, v, causal=True)
+        y = y.transpose(0, 2, 1, 3).reshape(1, t, cfg.n_head * cfg.head_dim)
+        x = x + y @ blk["wo"].astype(x.dtype)
+        x = x + _mlp(_rms_norm(x, blk["mlp_norm"], cfg.rms_eps), blk)
+    x = _rms_norm(x, params["norm_f"], cfg.rms_eps)
+    logits = (x[0, -1] @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
+    return kvc.set_length(cache, slot, t), logits
+
+
+def decode_step(
+    params: Params,
+    tokens: jax.Array,
+    cfg: LlamaConfig,
+    cache: kvc.KVCache,
+    active: jax.Array | None = None,
+) -> tuple[kvc.KVCache, jax.Array]:
+    """One token per slot: tokens [slots] -> (cache, logits [slots, vocab])."""
+    s = cache.slots
+    d = cfg.head_dim
+    positions = jnp.clip(cache.lengths, 0, cache.max_len - 1)
+    x = params["wte"][tokens].astype(cfg.dtype)[:, None]  # [S, 1, E]
+    cos, sin = rope_cos_sin(positions[:, None], d, cfg.rope_theta)
+    cos, sin = cos[:, None], sin[:, None]  # [S, 1, 1, half]
+    for li, blk in enumerate(params["blocks"]):
+        xa = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        q, k, v = _project_qkv(xa, blk, cfg, s, 1)
+        q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
+        cache = kvc.decode_write(cache, li, k[:, :, 0], v[:, :, 0], positions)
+        y = decode_attention(q[:, :, 0], cache, li)
+        x = x + y.reshape(s, 1, cfg.n_head * d) @ blk["wo"].astype(x.dtype)
+        x = x + _mlp(_rms_norm(x, blk["mlp_norm"], cfg.rms_eps), blk)
+    x = _rms_norm(x, params["norm_f"], cfg.rms_eps)
+    logits = (x[:, 0] @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
+    step = 1 if active is None else active.astype(jnp.int32)
+    return kvc.advance_lengths(cache, step), logits
