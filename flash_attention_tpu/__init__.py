@@ -7,6 +7,8 @@ Public API mirrors the reference's surface
 extensions (sharding, quantization, inference engine).
 """
 
+import importlib
+
 from .kernels import (
     BlockSizes,
     flash_attention,
@@ -17,6 +19,28 @@ from .ops import dot_product_attention, flash_attention_qkv_packed
 
 __version__ = "0.1.0"
 
+# Lazily importable subsystems (keeps `import flash_attention_tpu` light;
+# training pulls optax, inference pulls the engine, etc.)
+_SUBMODULES = (
+    "kernels",
+    "ops",
+    "models",
+    "training",
+    "parallel",
+    "inference",
+    "quant",
+    "data",
+    "utils",
+    "config",
+)
+
+
+def __getattr__(name: str):
+    if name in _SUBMODULES:
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __all__ = [
     "BlockSizes",
     "dot_product_attention",
@@ -25,4 +49,5 @@ __all__ = [
     "flash_attention_qkv_packed",
     "vanilla_attention",
     "__version__",
+    *_SUBMODULES,
 ]

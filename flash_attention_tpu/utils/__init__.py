@@ -1,5 +1,14 @@
-"""Utilities: patching, profiling, tree helpers."""
+"""Utilities: patching, profiling, device discovery."""
 
 from .patching import patch_function, unpatch_function
+from .profiling import MemoryReport, compare_memory, flops_estimate, memory_report, trace
 
-__all__ = ["patch_function", "unpatch_function"]
+__all__ = [
+    "MemoryReport",
+    "compare_memory",
+    "flops_estimate",
+    "memory_report",
+    "patch_function",
+    "trace",
+    "unpatch_function",
+]

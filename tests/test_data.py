@@ -1,0 +1,58 @@
+"""Data layer tests: native loader vs NumPy fallback equivalence.
+
+The native .so may or may not be built in the test environment; tests assert
+the public behavior either way, and when the library IS present, assert
+parity between native and fallback paths (the reference only error-checks its
+loader; we go further and pin the two implementations against each other)."""
+
+import numpy as np
+import pytest
+
+from flash_attention_tpu.data import CharTokenizer, load_native_library, sample_batch
+from flash_attention_tpu.data import loader as loader_mod
+
+TEXT = "hello flash attention on tpu! " * 50
+
+
+def test_tokenizer_roundtrip():
+    tok = CharTokenizer(TEXT)
+    assert tok.vocab_size == len(set(TEXT))
+    ids = tok.encode(TEXT)
+    assert ids.dtype == np.uint16
+    assert tok.decode(ids) == TEXT
+
+
+def test_sample_batch_shapes_and_targets():
+    tok = CharTokenizer(TEXT)
+    data = tok.encode(TEXT)
+    x, y = sample_batch(data, seed=7, batch=4, block=32)
+    assert x.shape == (4, 32) and y.shape == (4, 32)
+    # y is x shifted by one within the corpus
+    for b in range(4):
+        joined = np.concatenate([x[b], y[b][-1:]])
+        s = tok.decode(joined.astype(np.uint16))
+        assert s in TEXT + TEXT  # contiguous crop
+    # deterministic in seed
+    x2, y2 = sample_batch(data, seed=7, batch=4, block=32)
+    np.testing.assert_array_equal(x, x2)
+    x3, _ = sample_batch(data, seed=8, batch=4, block=32)
+    assert not np.array_equal(x, x3)
+
+
+@pytest.mark.skipif(
+    load_native_library() is None, reason="native dataloader not built (run make)"
+)
+def test_native_matches_fallback():
+    tok_native = CharTokenizer(TEXT)
+    lib = loader_mod._LIB
+    try:
+        # force fallback path
+        loader_mod._LIB = None
+        tok_py = CharTokenizer(TEXT)
+        np.testing.assert_array_equal(tok_native.vocab, tok_py.vocab)
+        ids_py = tok_py.encode(TEXT)
+    finally:
+        loader_mod._LIB = lib
+    ids_native = tok_native.encode(TEXT)
+    np.testing.assert_array_equal(ids_native, ids_py)
+    assert tok_native.decode(ids_native) == TEXT
