@@ -109,6 +109,56 @@ def bench_attention_bwd(b=4, h=12, l=2048, d=128, dtype=jnp.bfloat16) -> dict:
     }
 
 
+def bench_decode(
+    slots=8, ctx=1024, steps=64, kv_quant_dtype=None
+) -> dict:
+    """GPT-2 124M greedy decode throughput (tokens/s/chip) with a warm KV
+    cache at `ctx` context, plus prefill-time TTFT."""
+    from flash_attention_tpu.inference import init_cache
+    from flash_attention_tpu.inference.model_runner import decode_loop, prefill
+    from flash_attention_tpu.models import gpt
+
+    cfg = gpt.GPT2_124M
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    cache = init_cache(
+        cfg.n_layer,
+        slots,
+        cfg.kv_heads,
+        cfg.block_size,
+        cfg.head_dim,
+        dtype=cfg.dtype,
+        quant_dtype=kv_quant_dtype,
+    )
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (ctx,), 0, cfg.vocab_size)
+
+    # TTFT: one compiled prefill of a ctx-token prompt
+    pre = jax.jit(lambda p, t, c: prefill(p, t, cfg, c, jnp.int32(0))[1][0])
+    float(pre(params, prompt, cache))  # compile
+    t0 = time.perf_counter()
+    float(pre(params, prompt, cache))
+    ttft_ms = (time.perf_counter() - t0) * 1e3
+
+    # warm all slots to ctx
+    for s in range(slots):
+        cache, _ = jax.jit(
+            lambda p, t, c, s: prefill(p, t, cfg, c, s)
+        )(params, prompt, cache, jnp.int32(s))
+
+    loop = jax.jit(
+        lambda p, c, t: decode_loop(p, cfg, c, t, steps)[1].sum()
+    )
+    first = jnp.zeros((slots,), jnp.int32)
+    dt = _timeit(loop, params, cache, first, iters=3)
+    toks_per_s = slots * steps / dt
+    quant = jnp.dtype(kv_quant_dtype).name if kv_quant_dtype else "bf16"
+    return {
+        "config": f"decode GPT2-124M slots{slots} ctx{ctx} kv={quant}",
+        "ms": dt / steps * 1e3,
+        "tokens_per_s": toks_per_s,
+        "ttft_ms": ttft_ms,
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--all", action="store_true")
@@ -125,6 +175,12 @@ def main() -> None:
         ]
         for r in rows:
             print(f"{r['config']:55s} {r['ms']:8.3f} ms {r['tflops']:7.1f} TFLOP/s", file=sys.stderr)
+        for r in [bench_decode(), bench_decode(kv_quant_dtype=jnp.int8)]:
+            print(
+                f"{r['config']:55s} {r['ms']:8.3f} ms/tok {r['tokens_per_s']:7.0f} tok/s "
+                f"TTFT {r['ttft_ms']:.1f} ms",
+                file=sys.stderr,
+            )
 
     print(
         json.dumps(

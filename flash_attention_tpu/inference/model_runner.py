@@ -108,3 +108,28 @@ def decode_step(
     step = 1 if active is None else active.astype(jnp.int32)
     cache = kvc.advance_lengths(cache, step)
     return cache, logits
+
+
+def decode_loop(
+    params,
+    cfg: GPTConfig,
+    cache: kvc.KVCache,
+    first_tokens: jax.Array,
+    n_steps: int,
+) -> tuple[kvc.KVCache, jax.Array]:
+    """Fully on-device greedy decoding: `n_steps` chained decode steps under
+    one lax.scan (one dispatch for the whole generation — the production
+    decode path and the tokens/s benchmark kernel).
+
+    Returns (cache, tokens [n_steps, slots])."""
+
+    def body(carry, _):
+        cache, toks = carry
+        cache, logits = decode_step(params, toks, cfg, cache)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (cache, nxt), nxt
+
+    (cache, _), toks = jax.lax.scan(
+        body, (cache, first_tokens), None, length=n_steps
+    )
+    return cache, toks

@@ -40,11 +40,23 @@ class BlockSizes:
     block_q_dq: int | None = None
     block_kv_dq: int | None = None
 
+    # The backward kernels hold ~3 (block_q, block_kv) fp32 tiles (p, dp, ds)
+    # plus accumulators live at once; blocks above 512 spill VMEM and fall off
+    # a cliff (measured: dkv at kv=1024 is 5x slower than kv=512 on v5e), so
+    # unspecified backward blocks default to the forward blocks capped at 512.
+    _BWD_CAP = 512
+
     def bwd_dkv(self) -> tuple[int, int]:
-        return (self.block_q_dkv or self.block_q, self.block_kv_dkv or self.block_kv)
+        return (
+            self.block_q_dkv or min(self.block_q, self._BWD_CAP),
+            self.block_kv_dkv or min(self.block_kv, self._BWD_CAP),
+        )
 
     def bwd_dq(self) -> tuple[int, int]:
-        return (self.block_q_dq or self.block_q, self.block_kv_dq or self.block_kv)
+        return (
+            self.block_q_dq or min(self.block_q, self._BWD_CAP),
+            self.block_kv_dq or min(self.block_kv, self._BWD_CAP),
+        )
 
 
 def _clamp_pow2(x: int, lo: int, hi: int) -> int:

@@ -540,6 +540,37 @@ def _flash_bwd_rule(params: _Params, res, do):
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_lse(params: _Params, q, k, v):
+    return _fwd(params, q, k, v)
+
+
+def _flash_lse_fwd_rule(params: _Params, q, k, v):
+    o, lse = _fwd(params, q, k, v)
+    return (o, lse), (q, k, v, o, lse)
+
+
+def _flash_lse_bwd_rule(params: _Params, res, cts):
+    """VJP with a logsumexp cotangent.
+
+    Since lse = logsumexp(s) row-wise, d lse/d s = softmax(s) = p, so the
+    score cotangent gains `dlse * p` — which folds into the existing kernels
+    as di -> di - dlse (ds = p * (dp - di + dlse)).  dv is untouched.  This
+    one-line shift is what makes ring attention trainable: the cross-shard
+    softmax merge differentiates through lse.
+    """
+    do, dlse = cts
+    q, k, v, o, lse = res
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    di = di - dlse.astype(jnp.float32)
+    dk, dv = _bwd_dkv(params, q, k, v, do, lse, di)
+    dq = _bwd_dq(params, q, k, v, do, lse, di)
+    return dq, dk, dv
+
+
+_flash_lse.defvjp(_flash_lse_fwd_rule, _flash_lse_bwd_rule)
+
+
 # ---------------------------------------------------------------------------
 # Public entry point
 # ---------------------------------------------------------------------------
@@ -646,11 +677,13 @@ def flash_attention_with_lse(
     sm_scale: float | None = None,
     block_sizes: BlockSizes | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Forward-only flash attention that also returns logsumexp.
+    """Flash attention returning (out, logsumexp) — DIFFERENTIABLE in both.
 
     The analog of ``flashAttentionQKVPackedWithStash``
     (cpp/flash_attention_qkv_packed.cpp:175-334); used by ring attention to
-    combine partial results across sequence shards.  Not differentiable.
+    combine partial results across sequence shards.  The lse cotangent folds
+    into the backward kernels as a di shift, so training can differentiate
+    through cross-shard softmax merges.
     """
     b, hq, lq, d = q.shape
     hkv = k.shape[1]
@@ -681,7 +714,9 @@ def flash_attention_with_lse(
         k = jnp.pad(k, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
     q4 = q.reshape(b * hkv, group, lqp, dp)
-    o, lse = _fwd(params, q4, k.reshape(b * hkv, lkp, dp), v.reshape(b * hkv, lkp, dp))
+    o, lse = _flash_lse(
+        params, q4, k.reshape(b * hkv, lkp, dp), v.reshape(b * hkv, lkp, dp)
+    )
     o = o.reshape(b, hq, lqp, dp)[:, :, :lq, :d]
     lse = lse.reshape(b, hq, lqp)[:, :, :lq]
     return o, lse

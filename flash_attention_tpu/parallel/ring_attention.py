@@ -9,9 +9,9 @@ the resident KV shard while `jax.lax.ppermute` rotates shards around the ICI
 ring, and partial results merge with the same online-softmax correction the
 kernel uses per tile (lse-weighted combine).
 
-Forward-path (inference / long-context scoring).  Per-shard compute uses the
-Pallas kernel via `flash_attention_with_lse`; the causal structure across
-shards is static per step:
+Per-shard compute uses the Pallas kernel via `flash_attention_with_lse`
+(differentiable in both outputs, so the whole ring trains under jax.grad);
+the causal structure across shards is static per step:
 
   source == self  -> diagonal shard: causal kernel
   source <  self  -> fully visible:  non-causal kernel
@@ -112,8 +112,10 @@ def ring_attention(
 
     q, k, v: [B, H, L, D] global arrays with L divisible by the axis size;
     they are sharded on L over `axis_name`.  Output is sharded like q.
-    Forward-only (use DP/TP training paths for gradients; a differentiable
-    ring is future work — the reference has no training-time analog either).
+    DIFFERENTIABLE: the per-shard kernel exposes an lse cotangent (see
+    kernels/flash_attention.py::_flash_lse_bwd_rule) and ppermute/cond
+    transpose cleanly, so jax.grad derives the reverse ring — KV-shard
+    gradients rotate back around the ring automatically.
     """
     if sm_scale is None:
         sm_scale = float(q.shape[-1]) ** -0.5
