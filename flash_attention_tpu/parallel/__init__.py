@@ -6,6 +6,7 @@ replication.
 """
 
 from .mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS, batch_sharding, make_mesh, replicated
+from .multihost import assert_same_across_hosts, initialize_multihost, topology
 from .ring_attention import head_parallel_attention, ring_attention
 from .sharding import gpt_param_sharding, gpt_param_specs, shard_params
 
@@ -13,12 +14,15 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "SEQ_AXIS",
+    "assert_same_across_hosts",
     "batch_sharding",
     "gpt_param_sharding",
     "gpt_param_specs",
     "head_parallel_attention",
+    "initialize_multihost",
     "make_mesh",
     "replicated",
     "ring_attention",
     "shard_params",
+    "topology",
 ]

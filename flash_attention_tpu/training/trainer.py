@@ -129,7 +129,9 @@ class Trainer:
         *,
         val_batches: Callable[[], Iterator] | None = None,
         log: Callable[[str], None] = print,
+        metrics=None,
     ) -> list[dict]:
+        """metrics: optional training.metrics.MetricsLogger (JSONL/wandb)."""
         t0 = time.time()
         for it in range(self.tcfg.max_iters):
             idx, targets = next(train_batches)
@@ -155,4 +157,8 @@ class Trainer:
                     rec["val_loss"] = sum(vlosses) / max(len(vlosses), 1)
                 self.history.append(rec)
                 log(f"{rec}")
+                if metrics is not None:
+                    metrics.log(rec)
+        if metrics is not None and self.history:
+            metrics.summary({"final": self.history[-1]})
         return self.history
