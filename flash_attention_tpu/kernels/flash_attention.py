@@ -68,15 +68,16 @@ def _round_up(x: int, m: int) -> int:
 def _mask_for_block(
     params: _Params,
     i,
-    j,
+    col_start,
     rows: int,
     bq: int,
-    bkv: int,
+    width: int,
     *,
     causal: bool,
     kv_mask: bool,
 ):
-    """Combined causal + kv-length mask for one (i, j) tile, or None.
+    """Combined causal + kv-length mask for one (rows, width) tile whose
+    first column sits at absolute kv position `col_start`, or None.
 
     Index-arithmetic replacement for the reference's materialized mask blocks
     (cpp/flash_attention_qkv_packed.cpp:133-173).  ``rows = q_per_kv * bq``:
@@ -85,8 +86,8 @@ def _mask_for_block(
     """
     if not causal and not kv_mask:
         return None
-    row_pos = jax.lax.broadcasted_iota(jnp.int32, (rows, bkv), 0) % bq + i * bq
-    col_pos = jax.lax.broadcasted_iota(jnp.int32, (rows, bkv), 1) + j * bkv
+    row_pos = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 0) % bq + i * bq
+    col_pos = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1) + col_start
     mask = None
     if causal:
         offset = params.kv_len - params.q_len
@@ -191,33 +192,45 @@ def _fwd_kernel(
         l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
         acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
+    bkv_in = params.blocks.block_kv_inner or bkv
+    n_inner = bkv // bkv_in
+
     def body(causal_mask: bool, kv_mask: bool):
         q = q_ref[0].reshape(rows, d)
-        k = k_ref[0]
-        # s = q @ k^T  "attn_ij = q_i @ k_j.T" (cf. …cpp:254)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = s * params.sm_scale
-        mask = _mask_for_block(
-            params, i, j, rows, bq, bkv, causal=causal_mask, kv_mask=kv_mask
-        )
-        if mask is not None:
-            s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+        # Two-level tiling: the BlockSpec streams a bkv-sized major tile from
+        # HBM; the unrolled inner loop works bkv_in columns at a time so the
+        # next sub-tile's QK^T matmul overlaps this sub-tile's softmax VPU
+        # work (the MXU/VPU pipelining the single big tile serializes).
+        for t in range(n_inner):
+            cols = pl.ds(t * bkv_in, bkv_in)
+            k = k_ref[0, cols, :]
+            # s = q @ k^T  "attn_ij = q_i @ k_j.T" (cf. …cpp:254)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * params.sm_scale
+            mask = _mask_for_block(
+                params, i, j * bkv + t * bkv_in, rows, bq, bkv_in,
+                causal=causal_mask, kv_mask=kv_mask,
+            )
+            if mask is not None:
+                s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
 
-        m_prev = m_scr[...]  # (rows, 128), lane-replicated
-        l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=-1, keepdims=True)  # (rows, 1)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)  # correction c = exp(m_i - m_new)
-        p = jnp.exp(s - m_next[:, 0:1])
-        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        m_scr[...] = m_next
-        l_scr[...] = l_next
-        # o_i = c * o_i + attn_ij @ v_j (unnormalized; divided once at end)
-        acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + jax.lax.dot(
-            p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
-        )
+            m_prev = m_scr[...]  # (rows, 128), lane-replicated
+            l_prev = l_scr[...]
+            m_curr = jnp.max(s, axis=-1, keepdims=True)  # (rows, 1)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)  # correction c = exp(m_i - m_new)
+            p = jnp.exp(s - m_next[:, 0:1])
+            l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            m_scr[...] = m_next
+            l_scr[...] = l_next
+            # o_i = c * o_i + attn_ij @ v_j (unnormalized; one final divide)
+            acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + jax.lax.dot(
+                p.astype(v_ref.dtype), v_ref[0, cols, :],
+                preferred_element_type=jnp.float32,
+            )
 
     _dispatch_block(params, i, j, bq, bkv, nj, kv_padded, body)
 
@@ -300,7 +313,7 @@ def _recompute_p(
     )
     s = s * params.sm_scale
     mask = _mask_for_block(
-        params, i, j, rows, bq, bkv, causal=causal_mask, kv_mask=kv_mask
+        params, i, j * bkv, rows, bq, bkv, causal=causal_mask, kv_mask=kv_mask
     )
     if mask is not None:
         s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
@@ -637,6 +650,11 @@ def flash_attention(
         block_q=min(block_sizes.block_q, _round_up(lq, MIN_BLOCK)),
         block_kv=min(block_sizes.block_kv, _round_up(lk, MIN_BLOCK)),
     )
+    if (
+        block_sizes.block_kv_inner
+        and block_sizes.block_kv % block_sizes.block_kv_inner
+    ):
+        block_sizes = dataclasses.replace(block_sizes, block_kv_inner=None)
 
     params = _Params(
         sm_scale=float(sm_scale),

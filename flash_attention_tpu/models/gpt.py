@@ -169,16 +169,24 @@ def forward(
         if rng is not None
         else [None] * (2 * cfg.n_layer + 1)
     )
-    x = params["wte"][idx] + params["wpe"][:t]
-    x = x.astype(cfg.dtype)
-    x = _dropout(x, cfg.dropout, rngs[0], deterministic)
+    # jax.named_scope plays the role of the reference's pervasive
+    # DebugContext names (e.g. "o_i += attn_ij @ v_j") so profiler traces
+    # read as algebra (SURVEY.md §5 "Tracing / profiling").
+    with jax.named_scope("embed"):
+        x = params["wte"][idx] + params["wpe"][:t]
+        x = x.astype(cfg.dtype)
+        x = _dropout(x, cfg.dropout, rngs[0], deterministic)
     for li, blk in enumerate(params["blocks"]):
-        x = x + _attention(
-            _layer_norm(x, blk["ln1"]), blk["attn"], cfg, rngs[1 + 2 * li], deterministic
-        )
-        x = x + _mlp(
-            _layer_norm(x, blk["ln2"]), blk["mlp"], cfg, rngs[2 + 2 * li], deterministic
-        )
+        with jax.named_scope(f"block{li}.attn"):
+            x = x + _attention(
+                _layer_norm(x, blk["ln1"]), blk["attn"], cfg,
+                rngs[1 + 2 * li], deterministic,
+            )
+        with jax.named_scope(f"block{li}.mlp"):
+            x = x + _mlp(
+                _layer_norm(x, blk["ln2"]), blk["mlp"], cfg,
+                rngs[2 + 2 * li], deterministic,
+            )
     x = _layer_norm(x, params["lnf"])
     # weight-tied lm head, logits in fp32 for a stable softmax
     return jnp.einsum(

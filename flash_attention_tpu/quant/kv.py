@@ -120,7 +120,8 @@ def _fwd_quant_kernel(
         # fold K dequant scale into the scores (per kv-token column)
         s = s * (ks_ref[0].reshape(1, bkv) * params.sm_scale)
         mask = _mask_for_block(
-            params, i, j, rows, bq, bkv, causal=causal_mask, kv_mask=kv_mask
+            params, i, j * bkv, rows, bq, bkv,
+            causal=causal_mask, kv_mask=kv_mask,
         )
         if mask is not None:
             s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)

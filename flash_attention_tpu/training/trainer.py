@@ -131,7 +131,19 @@ class Trainer:
         log: Callable[[str], None] = print,
         metrics=None,
     ) -> list[dict]:
-        """metrics: optional training.metrics.MetricsLogger (JSONL/wandb)."""
+        """metrics: optional training.metrics.MetricsLogger (JSONL/wandb).
+
+        Exceptions are recorded to the metrics summary before re-raising
+        (the reference logs failures to wandb.summary, demo/train.py:275-279).
+        """
+        try:
+            return self._fit(train_batches, val_batches, log, metrics)
+        except Exception as exc:
+            if metrics is not None:
+                metrics.summary({"error": repr(exc)})
+            raise
+
+    def _fit(self, train_batches, val_batches, log, metrics) -> list[dict]:
         t0 = time.time()
         for it in range(self.tcfg.max_iters):
             idx, targets = next(train_batches)
