@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..kernels.flash_attention import flash_attention
+from ..quant.weights import QuantizedTensor, quantized_matmul
 from ..inference import kv_cache as kvc
 from ..inference.decode_attention import decode_attention
 
@@ -88,6 +89,13 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
     }
 
 
+def _mm(x, w):
+    """Matmul that accepts fp32 or weight-only-quantized (QuantizedTensor)."""
+    if isinstance(w, QuantizedTensor):
+        return quantized_matmul(x, w)
+    return x @ w.astype(x.dtype)
+
+
 def _rms_norm(x, gain, eps):
     x32 = x.astype(jnp.float32)
     scale = jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
@@ -113,9 +121,9 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 def _project_qkv(x, blk, cfg: LlamaConfig, b, t):
     d = cfg.head_dim
-    q = (x @ blk["wq"].astype(x.dtype)).reshape(b, t, cfg.n_head, d)
-    k = (x @ blk["wk"].astype(x.dtype)).reshape(b, t, cfg.n_kv_head, d)
-    v = (x @ blk["wv"].astype(x.dtype)).reshape(b, t, cfg.n_kv_head, d)
+    q = _mm(x, blk["wq"]).reshape(b, t, cfg.n_head, d)
+    k = _mm(x, blk["wk"]).reshape(b, t, cfg.n_kv_head, d)
+    v = _mm(x, blk["wv"]).reshape(b, t, cfg.n_kv_head, d)
     return (
         q.transpose(0, 2, 1, 3),
         k.transpose(0, 2, 1, 3),
@@ -124,9 +132,9 @@ def _project_qkv(x, blk, cfg: LlamaConfig, b, t):
 
 
 def _mlp(x, blk):
-    gate = jax.nn.silu(x @ blk["w_gate"].astype(x.dtype))
-    up = x @ blk["w_up"].astype(x.dtype)
-    return (gate * up) @ blk["w_down"].astype(x.dtype)
+    gate = jax.nn.silu(_mm(x, blk["w_gate"]))
+    up = _mm(x, blk["w_up"])
+    return _mm(gate * up, blk["w_down"])
 
 
 def forward(params: Params, idx: jax.Array, cfg: LlamaConfig) -> jax.Array:
@@ -141,10 +149,10 @@ def forward(params: Params, idx: jax.Array, cfg: LlamaConfig) -> jax.Array:
         q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
         y = flash_attention(q, k, v, causal=True)
         y = y.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_head * cfg.head_dim)
-        x = x + y @ blk["wo"].astype(x.dtype)
+        x = x + _mm(y, blk["wo"])
         x = x + _mlp(_rms_norm(x, blk["mlp_norm"], cfg.rms_eps), blk)
     x = _rms_norm(x, params["norm_f"], cfg.rms_eps)
-    return (x @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
+    return _mm(x, params["lm_head"]).astype(jnp.float32)
 
 
 def loss_fn(params, idx, targets, cfg: LlamaConfig) -> jax.Array:
@@ -178,10 +186,10 @@ def prefill(
         cache = kvc.prefill_write(cache, li, slot, k[0], v[0])
         y = flash_attention(q, k, v, causal=True)
         y = y.transpose(0, 2, 1, 3).reshape(1, t, cfg.n_head * cfg.head_dim)
-        x = x + y @ blk["wo"].astype(x.dtype)
+        x = x + _mm(y, blk["wo"])
         x = x + _mlp(_rms_norm(x, blk["mlp_norm"], cfg.rms_eps), blk)
     x = _rms_norm(x, params["norm_f"], cfg.rms_eps)
-    logits = (x[0, -1] @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
+    logits = _mm(x[0, -1], params["lm_head"]).astype(jnp.float32)
     return kvc.set_length(cache, slot, t), logits
 
 
@@ -205,9 +213,31 @@ def decode_step(
         q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
         cache = kvc.decode_write(cache, li, k[:, :, 0], v[:, :, 0], positions)
         y = decode_attention(q[:, :, 0], cache, li)
-        x = x + y.reshape(s, 1, cfg.n_head * d) @ blk["wo"].astype(x.dtype)
+        x = x + _mm(y.reshape(s, 1, cfg.n_head * d), blk["wo"])
         x = x + _mlp(_rms_norm(x, blk["mlp_norm"], cfg.rms_eps), blk)
     x = _rms_norm(x, params["norm_f"], cfg.rms_eps)
-    logits = (x[:, 0] @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
+    logits = _mm(x[:, 0], params["lm_head"]).astype(jnp.float32)
     step = 1 if active is None else active.astype(jnp.int32)
     return kvc.advance_lengths(cache, step), logits
+
+
+def decode_loop(
+    params: Params,
+    cfg: LlamaConfig,
+    cache: kvc.KVCache,
+    first_tokens: jax.Array,
+    n_steps: int,
+) -> tuple[kvc.KVCache, jax.Array]:
+    """On-device greedy decoding: n_steps chained decode steps under one
+    lax.scan (single dispatch; the tokens/s benchmark and serving fast path)."""
+
+    def body(carry, _):
+        cache, toks = carry
+        cache, logits = decode_step(params, toks, cfg, cache)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (cache, nxt), nxt
+
+    (cache, _), toks = jax.lax.scan(
+        body, (cache, first_tokens), None, length=n_steps
+    )
+    return cache, toks

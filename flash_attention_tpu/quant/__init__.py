@@ -16,6 +16,8 @@ from .weights import (
     quantize_gpt_params,
     quantize_int4,
     quantize_int8,
+    quantize_llama_params,
+    quantize_params,
     quantized_matmul,
 )
 
@@ -30,5 +32,7 @@ __all__ = [
     "quantize_int4",
     "quantize_int8",
     "quantize_kv",
+    "quantize_llama_params",
+    "quantize_params",
     "quantized_matmul",
 ]

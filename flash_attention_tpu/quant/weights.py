@@ -90,20 +90,22 @@ def quantized_matmul(
 
 
 _QUANT_KEYS = ("wqkv", "wo", "wfc", "wproj")
+# Llama projection names (models/llama.py param tree)
+_LLAMA_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "lm_head")
 
 
-def quantize_gpt_params(params: Any, *, bits: int = 8) -> Any:
-    """Quantize every projection matrix in a GPT params pytree (weight-only).
+def quantize_params(params: Any, keys: tuple[str, ...], *, bits: int = 8) -> Any:
+    """Quantize the named projection matrices in a params pytree (weight-only).
 
-    Embeddings / layernorms / biases stay fp32 (standard practice; they are
-    a small fraction of bytes).
+    Embeddings / norms / biases stay fp32 (standard practice; they are a
+    small fraction of bytes).
     """
     quantize = quantize_int8 if bits == 8 else quantize_int4
 
     def visit(tree):
         if isinstance(tree, dict):
             return {
-                k: (quantize(v) if k in _QUANT_KEYS else visit(v))
+                k: (quantize(v) if k in keys else visit(v))
                 for k, v in tree.items()
             }
         if isinstance(tree, list):
@@ -111,6 +113,14 @@ def quantize_gpt_params(params: Any, *, bits: int = 8) -> Any:
         return tree
 
     return visit(params)
+
+
+def quantize_gpt_params(params: Any, *, bits: int = 8) -> Any:
+    return quantize_params(params, _QUANT_KEYS, bits=bits)
+
+
+def quantize_llama_params(params: Any, *, bits: int = 8) -> Any:
+    return quantize_params(params, _LLAMA_QUANT_KEYS, bits=bits)
 
 
 def gpt_forward_quantized(params, idx, cfg, **kwargs):

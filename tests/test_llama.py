@@ -100,3 +100,35 @@ def test_llama_engine_with_fp8_kv(params):
     # fp8 cache: first greedy token should match the exact reference
     ref = _greedy_ref(params, [3, 1, 4, 1, 5], 1)
     assert fin[0].output[0] == ref[0]
+
+
+def test_llama_quantized_weights(params):
+    """INT8/INT4 weight-only llama forward stays close to fp32."""
+    from flash_attention_tpu.quant import quantize_llama_params
+
+    idx = jax.random.randint(jax.random.PRNGKey(9), (1, 32), 0, CFG.vocab_size)
+    ref = llama.forward(params, idx, CFG)
+    for bits, tol in [(8, 0.05), (4, 1.0)]:
+        qp = quantize_llama_params(params, bits=bits)
+        out = llama.forward(qp, idx, CFG)
+        assert jnp.max(jnp.abs(out - ref)) < tol, bits
+        assert jnp.all(jnp.isfinite(out))
+
+
+def test_llama_decode_loop_matches_stepwise(params):
+    cache = init_cache(
+        CFG.n_layer, 2, CFG.n_kv_head, 128, CFG.head_dim, dtype=CFG.dtype
+    )
+    prompt = jnp.asarray([1, 5, 9, 2], jnp.int32)
+    cache, logits = llama.prefill(params, prompt, CFG, cache, jnp.int32(0))
+    cache, _ = llama.prefill(params, prompt, CFG, cache, jnp.int32(1))
+    first = jnp.full((2,), int(jnp.argmax(logits)), jnp.int32)
+
+    c1, t = cache, first
+    toks1 = []
+    for _ in range(4):
+        c1, lg = llama.decode_step(params, t, CFG, c1)
+        t = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        toks1.append(t)
+    c2, toks2 = llama.decode_loop(params, CFG, cache, first, 4)
+    assert (jnp.stack(toks1) == toks2).all()
