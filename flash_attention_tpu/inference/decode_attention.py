@@ -32,21 +32,21 @@ def decode_attention(
     position lengths[slot] via decode_write.
     """
     s, hq, d = q.shape
-    hkv = cache.k.shape[2]
+    hkv = cache.kv_heads
     group = hq // hkv
     if sm_scale is None:
         sm_scale = float(d) ** -0.5
 
-    k, v = cache.k[layer], cache.v[layer]  # [S, Hkv, L, D] payloads
+    k, v = cache.k[layer], cache.v[layer]  # [Hkv, S, L, D] payloads
     q4 = q.reshape(s, hkv, group, d)
 
     scores = jnp.einsum(
-        "shgd,shld->shgl", q4, k.astype(q.dtype),
+        "shgd,hsld->shgl", q4, k.astype(q.dtype),
         preferred_element_type=jnp.float32,
     ) * sm_scale
     if cache.quantized:
         # fold K dequant scale per cached token (column of scores)
-        scores = scores * cache.k_scale[layer][:, :, None, :]
+        scores = scores * jnp.swapaxes(cache.k_scale[layer], 0, 1)[:, :, None, :]
 
     valid = (
         jnp.arange(cache.max_len)[None, :] <= cache.lengths[:, None]
@@ -55,9 +55,47 @@ def decode_attention(
 
     p = jax.nn.softmax(scores, axis=-1)
     if cache.quantized:
-        p = p * cache.v_scale[layer][:, :, None, :]
+        p = p * jnp.swapaxes(cache.v_scale[layer], 0, 1)[:, :, None, :]
     out = jnp.einsum(
-        "shgl,shld->shgd", p.astype(q.dtype), v.astype(q.dtype),
+        "shgl,hsld->shgd", p.astype(q.dtype), v.astype(q.dtype),
         preferred_element_type=jnp.float32,
     )
     return out.reshape(s, hq, d).astype(q.dtype)
+
+
+def decode_attention_paged(
+    q: jax.Array,
+    cache: KVCache,
+    layer: int,
+    *,
+    page_size: int = 128,
+    sm_scale: float | None = None,
+    pages_per_compute_block: int = 8,
+) -> jax.Array:
+    """Decode attention through the paged Pallas kernel (zero-copy page view
+    of the slot cache).  Reads only pages up to each slot's length and
+    streams quantized payloads at 1 byte/elem — the production decode path.
+
+    head_dim must be a multiple of 128 on TPU (Mosaic page-DMA alignment);
+    smaller head dims transparently fall back to the einsum path.
+    """
+    from ..config import use_interpret
+    from . import kv_cache as kvc
+    from .paged_attention import paged_attention
+
+    if q.shape[-1] % 128 and not use_interpret():
+        return decode_attention(q, cache, layer, sm_scale=sm_scale)
+
+    kp, vp, ks, vs = kvc.page_view(cache, layer, page_size)
+    pi = kvc.identity_page_indices(cache.slots, cache.max_len, page_size)
+    return paged_attention(
+        q,
+        kp,
+        vp,
+        cache.lengths + 1,  # current token already written at pos lengths
+        pi,
+        k_scales=ks,
+        v_scales=vs,
+        sm_scale=sm_scale,
+        pages_per_compute_block=pages_per_compute_block,
+    )

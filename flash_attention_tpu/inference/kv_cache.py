@@ -3,11 +3,17 @@
 North-star extension (SURVEY.md §7 stage 6) — the reference has no inference
 engine (its demo only trains; notebook cell 37 benchmarks a forward pass).
 
-Slot-based contiguous cache: [n_layer, slots, kv_heads, max_len, head_dim]
-with per-slot lengths.  Static shapes throughout (XLA-compiled decode).  Two
-write paths: `prefill_write` (one slot, T tokens, dynamic_update_slice) and
-`decode_write` (all slots, 1 token each, vectorized scatter).  Optional
-INT8/FP8 storage: payload + per-token scales, dequantized at attention time.
+Layout: k, v are [n_layer, kv_heads, slots, max_len, head_dim].  Heads
+leading means the per-layer cache IS an identity-paged cache by pure reshape:
+
+    k[layer].reshape(kv_heads, slots * max_len // page_size, page_size, d)
+
+so the paged attention kernel (inference/paged_attention.py) reads it with no
+copy — slot s owns contiguous pages [s*max_len/ps, (s+1)*max_len/ps).  Static
+shapes throughout.  Two write paths: `prefill_write` (one slot, T tokens,
+dynamic_update_slice) and `decode_write` (all slots, 1 token each, vectorized
+scatter).  Optional INT8/FP8 storage: payload + per-token scales, dequantized
+at attention time (fused into the kernels, not materialized).
 """
 
 from __future__ import annotations
@@ -21,8 +27,8 @@ import jax.numpy as jnp
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class KVCache:
-    """k, v: [n_layer, slots, kv_heads, max_len, head_dim] payloads;
-    k_scale/v_scale: [n_layer, slots, kv_heads, max_len] or None;
+    """k, v: [n_layer, kv_heads, slots, max_len, head_dim] payloads;
+    k_scale/v_scale: [n_layer, kv_heads, slots, max_len] or None;
     lengths: [slots] int32."""
 
     k: jax.Array
@@ -44,6 +50,10 @@ class KVCache:
 
     @property
     def slots(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def kv_heads(self) -> int:
         return self.k.shape[1]
 
     @property
@@ -61,7 +71,7 @@ def init_cache(
     dtype=jnp.bfloat16,
     quant_dtype=None,
 ) -> KVCache:
-    shape = (n_layer, slots, kv_heads, max_len, head_dim)
+    shape = (n_layer, kv_heads, slots, max_len, head_dim)
     store = quant_dtype or dtype
     scales = jnp.ones(shape[:-1], jnp.float32) if quant_dtype is not None else None
     return KVCache(
@@ -107,14 +117,14 @@ def prefill_write(
         k_pay, v_pay = k_new.astype(cache.k.dtype), v_new.astype(cache.v.dtype)
         k_sc = v_sc = None
     zero = jnp.int32(0)
-    at = (jnp.int32(layer), slot, zero, zero, zero)
-    k = jax.lax.dynamic_update_slice(cache.k, k_pay[None, None], at)
-    v = jax.lax.dynamic_update_slice(cache.v, v_pay[None, None], at)
+    at = (jnp.int32(layer), zero, slot, zero, zero)
+    k = jax.lax.dynamic_update_slice(cache.k, k_pay[None, :, None], at)
+    v = jax.lax.dynamic_update_slice(cache.v, v_pay[None, :, None], at)
     ks = vs = None
     if cache.quantized:
-        at3 = (jnp.int32(layer), slot, zero, zero)
-        ks = jax.lax.dynamic_update_slice(cache.k_scale, k_sc[None, None], at3)
-        vs = jax.lax.dynamic_update_slice(cache.v_scale, v_sc[None, None], at3)
+        at4 = (jnp.int32(layer), zero, slot, zero)
+        ks = jax.lax.dynamic_update_slice(cache.k_scale, k_sc[None, :, None], at4)
+        vs = jax.lax.dynamic_update_slice(cache.v_scale, v_sc[None, :, None], at4)
     return KVCache(k, v, ks, vs, cache.lengths)
 
 
@@ -128,22 +138,23 @@ def decode_write(
     """Write one new token per slot: k_new/v_new [slots, kv_heads, head_dim],
     positions [slots].  Vectorized scatter — the decode hot path."""
     s = cache.slots
-    hkv = cache.k.shape[2]
-    sl = jnp.arange(s)[:, None]
-    hd = jnp.arange(hkv)[None, :]
-    pos = positions[:, None]
+    hkv = cache.kv_heads
+    hd = jnp.arange(hkv)[:, None]  # [hkv, 1]
+    sl = jnp.arange(s)[None, :]  # [1, s]
+    pos = positions[None, :]  # [1, s]
     if cache.quantized:
         k_pay, k_sc = _quantize_tokens(k_new, cache.k.dtype)
         v_pay, v_sc = _quantize_tokens(v_new, cache.v.dtype)
     else:
         k_pay, v_pay = k_new.astype(cache.k.dtype), v_new.astype(cache.v.dtype)
         k_sc = v_sc = None
-    k = cache.k.at[layer, sl, hd, pos].set(k_pay)
-    v = cache.v.at[layer, sl, hd, pos].set(v_pay)
+    # [slots, kv_heads, d] -> [kv_heads, slots, d] for the scatter
+    k = cache.k.at[layer, hd, sl, pos].set(jnp.swapaxes(k_pay, 0, 1))
+    v = cache.v.at[layer, hd, sl, pos].set(jnp.swapaxes(v_pay, 0, 1))
     ks = vs = None
     if cache.quantized:
-        ks = cache.k_scale.at[layer, sl, hd, pos].set(k_sc)
-        vs = cache.v_scale.at[layer, sl, hd, pos].set(v_sc)
+        ks = cache.k_scale.at[layer, hd, sl, pos].set(jnp.swapaxes(k_sc, 0, 1))
+        vs = cache.v_scale.at[layer, hd, sl, pos].set(jnp.swapaxes(v_sc, 0, 1))
     return KVCache(k, v, ks, vs, cache.lengths)
 
 
@@ -158,12 +169,10 @@ def set_length(cache: KVCache, slot: jax.Array, length) -> KVCache:
 
 
 def layer_kv(cache: KVCache, layer: int, dtype=jnp.bfloat16):
-    """K, V (+scales applied) for one layer: [slots, kv_heads, max_len, d].
+    """K, V (+scales applied) for one layer: [kv_heads, slots, max_len, d].
 
-    For the unquantized cache this is a cheap view; for quantized it
-    dequantizes (the fused-dequant decode kernel avoids this — see
-    inference/decode_attention.py).
-    """
+    For the unquantized cache this is a cheap view; quantized dequantizes
+    (the fused-dequant attention paths avoid this)."""
     k, v = cache.k[layer], cache.v[layer]
     if cache.quantized:
         k = (k.astype(jnp.float32) * cache.k_scale[layer][..., None]).astype(dtype)
@@ -171,3 +180,32 @@ def layer_kv(cache: KVCache, layer: int, dtype=jnp.bfloat16):
     else:
         k, v = k.astype(dtype), v.astype(dtype)
     return k, v
+
+
+def page_view(cache: KVCache, layer: int, page_size: int):
+    """Zero-copy paged view of one layer for the paged attention kernel.
+
+    Returns (k_pages, v_pages, k_scales, v_scales) with pages
+    [kv_heads, slots * max_len/page_size, page_size, head_dim] and scales
+    [kv_heads, pages, page_size] (None when unquantized)."""
+    if cache.max_len % page_size:
+        raise ValueError(f"max_len {cache.max_len} % page_size {page_size}")
+    hkv, s, l = cache.kv_heads, cache.slots, cache.max_len
+    n_pages = s * l // page_size
+    d = cache.k.shape[-1]
+    k_pages = cache.k[layer].reshape(hkv, n_pages, page_size, d)
+    v_pages = cache.v[layer].reshape(hkv, n_pages, page_size, d)
+    ks = vs = None
+    if cache.quantized:
+        ks = cache.k_scale[layer].reshape(hkv, n_pages, page_size)
+        vs = cache.v_scale[layer].reshape(hkv, n_pages, page_size)
+    return k_pages, v_pages, ks, vs
+
+
+def identity_page_indices(slots: int, max_len: int, page_size: int) -> jax.Array:
+    """[slots, max_len/page_size] page table for the slot-contiguous cache."""
+    ppslot = max_len // page_size
+    return (
+        jnp.arange(slots, dtype=jnp.int32)[:, None] * ppslot
+        + jnp.arange(ppslot, dtype=jnp.int32)[None, :]
+    )

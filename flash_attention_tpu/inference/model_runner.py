@@ -18,7 +18,7 @@ from ..kernels.flash_attention import flash_attention
 from ..models.gpt import GPTConfig, _layer_norm
 from ..quant.weights import QuantizedTensor, quantized_matmul
 from . import kv_cache as kvc
-from .decode_attention import decode_attention
+from .decode_attention import decode_attention, decode_attention_paged
 
 
 def _matmul(x, w, b=None):
@@ -80,15 +80,21 @@ def decode_step(
     cfg: GPTConfig,
     cache: kvc.KVCache,
     active: jax.Array | None = None,
+    *,
+    attn_impl: str = "einsum",
 ) -> tuple[kvc.KVCache, jax.Array]:
     """One decode step for every slot: tokens [slots] -> logits [slots, vocab].
 
     Inactive slots compute garbage (static shapes); `active` [slots] bool
     gates their length advance so stale slots don't creep; the scheduler
-    discards their logits.
+    discards their logits.  attn_impl: "einsum" (fused XLA pass over the
+    whole cache) or "paged" (Pallas kernel, length-adaptive page reads).
     """
     s = cache.slots
     d, h, hkv = cfg.head_dim, cfg.n_head, cfg.kv_heads
+    attend = (
+        decode_attention if attn_impl == "einsum" else decode_attention_paged
+    )
     positions = jnp.clip(cache.lengths, 0, cfg.block_size - 1)
     x = (params["wte"][tokens] + params["wpe"][positions]).astype(cfg.dtype)[
         :, None
@@ -100,7 +106,7 @@ def decode_step(
         k = k.reshape(s, hkv, d)
         v = v.reshape(s, hkv, d)
         cache = kvc.decode_write(cache, li, k, v, positions)
-        y = decode_attention(q, cache, li)
+        y = attend(q, cache, li)
         x = x + _matmul(y.reshape(s, 1, h * d), blk["attn"]["wo"], blk["attn"]["bo"])
         x = x + _mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
     x = _layer_norm(x, params["lnf"])

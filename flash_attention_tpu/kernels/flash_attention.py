@@ -669,7 +669,9 @@ def flash_attention(
     bkv_all = [block_sizes.block_kv, block_sizes.bwd_dkv()[1], block_sizes.bwd_dq()[1]]
     lqp = max(_round_up(lq, bq) for bq in bq_all)
     lkp = max(_round_up(lk, bkv) for bkv in bkv_all)
-    dp = _round_up(d, MIN_BLOCK)
+    # Blocks cover the full head dim, so any array-equal lane width is
+    # legal on TPU; padding to 128 would double HBM traffic at D=64.
+    dp = _round_up(d, 8)
     if lqp != lq or dp != d:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, lqp - lq), (0, dp - d)))
     if lkp != lk or dp != d:
@@ -725,7 +727,9 @@ def flash_attention_with_lse(
     )
     lqp = _round_up(lq, block_sizes.block_q)
     lkp = _round_up(lk, block_sizes.block_kv)
-    dp = _round_up(d, MIN_BLOCK)
+    # Blocks cover the full head dim, so any array-equal lane width is
+    # legal on TPU; padding to 128 would double HBM traffic at D=64.
+    dp = _round_up(d, 8)
     if lqp != lq or dp != d:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, lqp - lq), (0, dp - d)))
     if lkp != lk or dp != d:

@@ -198,7 +198,9 @@ def flash_attention_kv_quant(
     )
     bq, bkv = block_sizes.block_q, block_sizes.block_kv
     lqp, lkp = _round_up(lq, bq), _round_up(lk, bkv)
-    dp = _round_up(d, MIN_BLOCK)
+    # Blocks cover the full head dim, so any array-equal lane width is
+    # legal on TPU; padding to 128 would double HBM traffic at D=64.
+    dp = _round_up(d, 8)
     k_q, ks, v_q, vs = kv.k, kv.k_scale, kv.v, kv.v_scale
     if lqp != lq or dp != d:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, lqp - lq), (0, dp - d)))

@@ -51,3 +51,59 @@ def test_paged_skips_beyond_length():
     lengths = jnp.asarray([64, 512], jnp.int32)
     out = paged_attention(q, kp, vp, lengths, pi, pages_per_compute_block=1)
     assert bool(jnp.all(jnp.isfinite(out[0]))), "read past length!"
+
+
+@pytest.mark.parametrize("quant_dtype", [jnp.int8, jnp.float8_e4m3fn])
+def test_paged_quantized_pages(quant_dtype):
+    """Quantized pages with per-token scales match the dequantized reference."""
+    q, kp, vp, pi = _setup(batch=2, hq=4, hkv=2, d=64, pages_per_seq=4)
+    # quantize pages per token
+    def quant(x):
+        amax = jnp.max(jnp.abs(x), axis=-1)
+        if quant_dtype == jnp.int8:
+            scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+            pay = jnp.clip(jnp.round(x / scale[..., None]), -127, 127).astype(jnp.int8)
+        else:
+            fmax = float(jnp.finfo(quant_dtype).max)
+            scale = jnp.where(amax == 0, 1.0, amax / fmax)
+            pay = (x / scale[..., None]).astype(quant_dtype)
+        return pay, scale
+    kq, ks = quant(kp)
+    vq, vs = quant(vp)
+    lengths = jnp.asarray([400, 129], jnp.int32)
+    out = paged_attention(
+        q, kq, vq, lengths, pi, k_scales=ks, v_scales=vs,
+        pages_per_compute_block=2,
+    )
+    ref = paged_attention_ref(q, kq, vq, lengths, pi, k_scales=ks, v_scales=vs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("quant_dtype", [None, jnp.int8])
+def test_decode_attention_paged_matches_einsum(quant_dtype):
+    """The paged decode path == the einsum decode path on the same cache."""
+    from flash_attention_tpu.inference import init_cache
+    from flash_attention_tpu.inference.decode_attention import (
+        decode_attention,
+        decode_attention_paged,
+    )
+    from flash_attention_tpu.inference.kv_cache import decode_write, advance_lengths
+
+    slots, hkv, hq, d, max_len = 2, 2, 4, 64, 256
+    cache = init_cache(1, slots, hkv, max_len, d, dtype=jnp.float32,
+                       quant_dtype=quant_dtype)
+    # fill some tokens via decode_write at varying positions
+    rng = jax.random.PRNGKey(0)
+    for pos in range(5):
+        rng, r1, r2 = jax.random.split(rng, 3)
+        kn = jax.random.normal(r1, (slots, hkv, d), jnp.float32)
+        vn = jax.random.normal(r2, (slots, hkv, d), jnp.float32)
+        cache = decode_write(cache, 0, kn, vn, jnp.full((slots,), pos, jnp.int32))
+        cache = advance_lengths(cache, 1)
+    cache = advance_lengths(cache, -1)  # pretend current token at pos 4
+    q = jax.random.normal(jax.random.PRNGKey(9), (slots, hq, d), jnp.float32)
+    out_e = decode_attention(q, cache, 0)
+    out_p = decode_attention_paged(q, cache, 0, page_size=128)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_e), atol=5e-5, rtol=1e-4
+    )
