@@ -159,9 +159,86 @@ def bench_decode(
     }
 
 
+def _synthetic_llama_int8(cfg, key):
+    """Llama params with projections generated directly as int8+scales
+    (no fp32 staging: a real 7B would need 27 GB host RAM otherwise)."""
+    from flash_attention_tpu.quant.weights import QuantizedTensor
+
+    d = cfg.head_dim
+    keys = iter(jax.random.split(key, 4 + 8 * cfg.n_layer))
+
+    def qlin(fan_in, fan_out):
+        vals = jax.random.randint(
+            next(keys), (fan_in, fan_out), -127, 128, jnp.int8
+        )
+        scales = jnp.full((fan_out,), 0.02 / 127.0, jnp.float32)
+        return QuantizedTensor(vals, scales, 8, fan_out)
+
+    def block():
+        return {
+            "attn_norm": jnp.ones(cfg.n_embd),
+            "wq": qlin(cfg.n_embd, cfg.n_head * d),
+            "wk": qlin(cfg.n_embd, cfg.n_kv_head * d),
+            "wv": qlin(cfg.n_embd, cfg.n_kv_head * d),
+            "wo": qlin(cfg.n_head * d, cfg.n_embd),
+            "mlp_norm": jnp.ones(cfg.n_embd),
+            "w_gate": qlin(cfg.n_embd, cfg.intermediate),
+            "w_up": qlin(cfg.n_embd, cfg.intermediate),
+            "w_down": qlin(cfg.intermediate, cfg.n_embd),
+        }
+
+    return {
+        "wte": (
+            jax.random.normal(next(keys), (cfg.vocab_size, cfg.n_embd), jnp.bfloat16)
+            * 0.02
+        ),
+        "blocks": [block() for _ in range(cfg.n_layer)],
+        "norm_f": jnp.ones(cfg.n_embd),
+        "lm_head": qlin(cfg.n_embd, cfg.vocab_size),
+    }
+
+
+def bench_llama(slots=4, ctx=1024, max_len=2048, steps=16) -> dict:
+    """Llama-2 7B-class, INT8 weights + INT8 KV cache, prefill TTFT +
+    decode tokens/s on one chip (BASELINE.json config 4, single-chip cut)."""
+    from flash_attention_tpu.inference import init_cache
+    from flash_attention_tpu.models import llama
+
+    cfg = llama.LLAMA2_7B
+    params = _synthetic_llama_int8(cfg, jax.random.PRNGKey(0))
+    cache = init_cache(
+        cfg.n_layer, slots, cfg.n_kv_head, max_len, cfg.head_dim,
+        dtype=cfg.dtype, quant_dtype=jnp.int8,
+    )
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (ctx,), 0, cfg.vocab_size)
+
+    pre = jax.jit(lambda p, t, c: llama.prefill(p, t, cfg, c, jnp.int32(0))[1][0])
+    float(pre(params, prompt, cache))
+    t0 = time.perf_counter()
+    float(pre(params, prompt, cache))
+    ttft_ms = (time.perf_counter() - t0) * 1e3
+    prefill_tok_s = ctx / (ttft_ms / 1e3)
+
+    for s in range(slots):
+        cache, _ = jax.jit(lambda p, t, c, s: llama.prefill(p, t, cfg, c, s))(
+            params, prompt, cache, jnp.int32(s)
+        )
+    loop = jax.jit(lambda p, c, t: llama.decode_loop(p, cfg, c, t, steps)[1].sum())
+    first = jnp.zeros((slots,), jnp.int32)
+    dt = _timeit(loop, params, cache, first, iters=3)
+    return {
+        "config": f"llama7B int8-w int8-kv slots{slots} ctx{ctx}",
+        "ms": dt / steps * 1e3,
+        "tokens_per_s": slots * steps / dt,
+        "ttft_ms": ttft_ms,
+        "prefill_tok_s": prefill_tok_s,
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--all", action="store_true")
+    parser.add_argument("--llama", action="store_true")
     args = parser.parse_args()
 
     headline = bench_attention_fwd()
@@ -181,6 +258,13 @@ def main() -> None:
                 f"TTFT {r['ttft_ms']:.1f} ms",
                 file=sys.stderr,
             )
+    if args.llama:
+        r = bench_llama()
+        print(
+            f"{r['config']:55s} {r['ms']:8.3f} ms/tok {r['tokens_per_s']:7.0f} tok/s "
+            f"TTFT {r['ttft_ms']:.1f} ms ({r['prefill_tok_s']:.0f} prefill tok/s)",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
