@@ -59,6 +59,9 @@ class _Params:
     q_len: int  # real (pre-padding) lengths, for masking
     kv_len: int
     blocks: BlockSizes
+    # Sliding window: attend only to the last `window` positions (inclusive
+    # of self); None = full causal.  Mistral-style local attention.
+    window: int | None = None
 
 
 def _round_up(x: int, m: int) -> int:
@@ -92,6 +95,8 @@ def _mask_for_block(
     if causal:
         offset = params.kv_len - params.q_len
         mask = col_pos <= row_pos + offset
+        if params.window is not None:
+            mask = mask & (col_pos >= row_pos + offset - (params.window - 1))
     if kv_mask:
         pad_mask = col_pos < params.kv_len
         mask = pad_mask if mask is None else mask & pad_mask
@@ -99,11 +104,17 @@ def _mask_for_block(
 
 
 def _fully_visible(params: _Params, i, j, bq: int, bkv: int):
-    """Causal block entirely below the diagonal — no per-element mask needed
-    (the converse of the skip predicate: mask work only on diagonal-crossing
-    blocks)."""
+    """Block needs no per-element mask: entirely below the diagonal and
+    (with a sliding window) entirely inside every row's window."""
     offset = params.kv_len - params.q_len
-    return (j + 1) * bkv - 1 <= i * bq + offset
+    visible = (j + 1) * bkv - 1 <= i * bq + offset
+    if params.window is not None:
+        # worst row = last row of the q block (largest window start)
+        visible = jnp.logical_and(
+            visible,
+            j * bkv >= (i + 1) * bq - 1 + offset - (params.window - 1),
+        )
+    return visible
 
 
 def _dispatch_block(params: _Params, i, j, bq, bkv, nj, kv_padded, body):
@@ -145,9 +156,16 @@ def _dispatch_block(params: _Params, i, j, bq, bkv, nj, kv_padded, body):
 def _run_cond(params: _Params, i, j, bq: int, bkv: int):
     """Causal block-skip predicate: same inequality as the reference's
     ``If(doBlock)`` (cpp/flash_attention_qkv_packed.cpp:244), generalized for
-    q_len != kv_len (queries aligned to the end of the KV sequence)."""
+    q_len != kv_len (queries aligned to the end of the KV sequence) and for
+    sliding windows (skip blocks entirely behind every row's window too)."""
     offset = params.kv_len - params.q_len
-    return j * bkv <= (i + 1) * bq - 1 + offset
+    run = j * bkv <= (i + 1) * bq - 1 + offset
+    if params.window is not None:
+        # block's last col must reach the first row's window start
+        run = jnp.logical_and(
+            run, (j + 1) * bkv - 1 >= i * bq + offset - (params.window - 1)
+        )
+    return run
 
 
 def _last_kv_block(params: _Params, nj: int, bq: int, bkv: int, i):
@@ -156,10 +174,30 @@ def _last_kv_block(params: _Params, nj: int, bq: int, bkv: int, i):
     return jnp.clip(((i + 1) * bq - 1 + offset) // bkv, 0, nj - 1)
 
 
+def _first_kv_block(params: _Params, nj: int, bq: int, bkv: int, i):
+    """First kv block q block i attends to (0 unless sliding window)."""
+    if params.window is None:
+        return 0
+    offset = params.kv_len - params.q_len
+    return jnp.clip(
+        (i * bq + offset - (params.window - 1)) // bkv, 0, nj - 1
+    )
+
+
 def _first_q_block(params: _Params, ni: int, bq: int, bkv: int, j):
     """First q block index that attends to kv block j (causal)."""
     offset = params.kv_len - params.q_len
     return jnp.clip((j * bkv - offset) // bq, 0, ni - 1)
+
+
+def _last_q_block(params: _Params, ni: int, bq: int, bkv: int, j):
+    """Last q block attending to kv block j (ni-1 unless sliding window)."""
+    if params.window is None:
+        return ni - 1
+    offset = params.kv_len - params.q_len
+    return jnp.clip(
+        ((j + 1) * bkv - 1 - offset + params.window - 1) // bq, 0, ni - 1
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -257,12 +295,21 @@ def _fwd(params: _Params, q, k, v):
         _fwd_kernel, params=params, nj=nj, kv_padded=kv_padded
     )
     if params.causal:
-        # Above-diagonal cells re-reference the last needed kv block: the
+        # Out-of-range cells re-reference the nearest needed kv block: the
         # index map not changing means Pallas skips the DMA entirely, so
         # skipped cells cost no HBM bandwidth (the block-skip analog of the
         # reference's If(doBlock) also skipping the dynamicSlice copies).
+        # With a sliding window, blocks behind the window clamp up too.
         def kv_index(b, i, j):
-            return (b, jnp.minimum(j, _last_kv_block(params, nj, bq, bkv, i)), 0)
+            return (
+                b,
+                jnp.clip(
+                    j,
+                    _first_kv_block(params, nj, bq, bkv, i),
+                    _last_kv_block(params, nj, bq, bkv, i),
+                ),
+                0,
+            )
 
     else:
 
@@ -444,9 +491,13 @@ def _bwd_dkv(params: _Params, q, k, v, do, lse, di):
         _dkv_kernel, params=params, ni=ni, nj=nj, kv_padded=kv_padded
     )
     if params.causal:
-        # Early (skipped) q blocks re-reference the first needed block: no DMA.
+        # Out-of-range q blocks re-reference the nearest needed one: no DMA.
         def qi(b, j, i):
-            return jnp.maximum(i, _first_q_block(params, ni, bq, bkv, j))
+            return jnp.clip(
+                i,
+                _first_q_block(params, ni, bq, bkv, j),
+                _last_q_block(params, ni, bq, bkv, j),
+            )
 
     else:
 
@@ -495,7 +546,15 @@ def _bwd_dq(params: _Params, q, k, v, do, lse, di):
     if params.causal:
 
         def kv_index(b, i, j):
-            return (b, jnp.minimum(j, _last_kv_block(params, nj, bq, bkv, i)), 0)
+            return (
+                b,
+                jnp.clip(
+                    j,
+                    _first_kv_block(params, nj, bq, bkv, i),
+                    _last_kv_block(params, nj, bq, bkv, i),
+                ),
+                0,
+            )
 
     else:
 
@@ -596,6 +655,7 @@ def flash_attention(
     *,
     causal: bool = True,
     sm_scale: float | None = None,
+    window: int | None = None,
     block_sizes: BlockSizes | None = None,
     num_chunks_q: int | None = None,
     num_chunks_kv: int | None = None,
@@ -610,6 +670,9 @@ def flash_attention(
       sm_scale: softmax scale; default 1/sqrt(head_dim).  Pass 1.0 for
         reference parity with flash_attention_qkv_packed, which does NOT
         scale (caller's responsibility — _impl/flash_attention_qkv_packed.py:55).
+      window: sliding-window (local) attention — attend only to the last
+        `window` positions including self (Mistral-style).  Requires causal.
+        Out-of-window blocks are skipped entirely, compute AND DMA.
       block_sizes: explicit tiling; overrides num_chunks_*.
       num_chunks_q / num_chunks_kv: reference-style chunk counts mapped to
         block sizes (cpp/flash_attention_qkv_packed.cpp:560-607 semantics).
@@ -629,13 +692,22 @@ def flash_attention(
     group = hq // hkv
     if sm_scale is None:
         sm_scale = float(d) ** -0.5
+    if window is not None:
+        if not causal:
+            raise ValueError("window (sliding-window) requires causal=True")
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        if window >= lk:
+            window = None  # full causal — no window constraint binds
 
     # Tiny/short shapes: dense path (the reference's CPU-fallback role,
     # _impl/flash_attention_qkv_packed.py:47-53).
     if lq < MIN_BLOCK or lk < MIN_BLOCK:
         k_r = jnp.repeat(k, group, axis=1) if group > 1 else k
         v_r = jnp.repeat(v, group, axis=1) if group > 1 else v
-        return vanilla_attention(q, k_r, v_r, causal=causal, sm_scale=sm_scale)
+        return vanilla_attention(
+            q, k_r, v_r, causal=causal, sm_scale=sm_scale, window=window
+        )
 
     if block_sizes is None:
         if num_chunks_q is not None or num_chunks_kv is not None:
@@ -662,6 +734,7 @@ def flash_attention(
         q_len=lq,
         kv_len=lk,
         blocks=block_sizes,
+        window=window,
     )
 
     # Pad to block/lane multiples (differentiable; grads of pads are slices).

@@ -24,15 +24,21 @@ import jax.numpy as jnp
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _causal_mask(q_len: int, kv_len: int) -> jax.Array:
+def _causal_mask(
+    q_len: int, kv_len: int, window: int | None = None
+) -> jax.Array:
     """[q_len, kv_len] bool mask; True = attend.
 
     Query positions are aligned to the *end* of the KV sequence (the standard
     decode convention): q row i has absolute position i + kv_len - q_len.
+    With `window`, only the last `window` positions (incl. self) attend.
     """
     row = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 1)
-    return col <= row + (kv_len - q_len)
+    mask = col <= row + (kv_len - q_len)
+    if window is not None:
+        mask = mask & (col >= row + (kv_len - q_len) - (window - 1))
+    return mask
 
 
 def vanilla_attention_with_lse(
@@ -42,6 +48,7 @@ def vanilla_attention_with_lse(
     *,
     causal: bool = True,
     sm_scale: float = 1.0,
+    window: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Dense attention returning (out, logsumexp).
 
@@ -54,7 +61,7 @@ def vanilla_attention_with_lse(
     )
     s = s * sm_scale
     if causal:
-        mask = _causal_mask(q_len, kv_len)
+        mask = _causal_mask(q_len, kv_len, window)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -76,9 +83,10 @@ def vanilla_attention(
     *,
     causal: bool = True,
     sm_scale: float = 1.0,
+    window: int | None = None,
 ) -> jax.Array:
     """Dense attention (differentiable via plain XLA autodiff)."""
     out, _ = vanilla_attention_with_lse(
-        q, k, v, causal=causal, sm_scale=sm_scale
+        q, k, v, causal=causal, sm_scale=sm_scale, window=window
     )
     return out

@@ -25,13 +25,31 @@ import jax.numpy as jnp
 from ..kernels.flash_attention import flash_attention
 
 
-def _supported(bias, mask, query_seq_lengths, key_value_seq_lengths, local_window_size) -> bool:
+def _window_from_local(local_window_size, is_causal) -> tuple[bool, int | None]:
+    """Map jax.nn's local_window_size to the kernel's causal window.
+
+    jax.nn semantics: int or (left, right), attend [i-left, i+right].
+    Expressible here iff causal with right == 0 -> window = left + 1.
+    Returns (supported, window)."""
+    if local_window_size is None:
+        return True, None
+    if not is_causal:
+        return False, None
+    if isinstance(local_window_size, int):
+        left, right = local_window_size, 0
+    else:
+        left, right = local_window_size
+    if right != 0:
+        return False, None
+    return True, left + 1
+
+
+def _supported(bias, mask, query_seq_lengths, key_value_seq_lengths) -> bool:
     return (
         bias is None
         and mask is None
         and query_seq_lengths is None
         and key_value_seq_lengths is None
-        and local_window_size is None
     )
 
 
@@ -57,9 +75,12 @@ def dot_product_attention(
     there; otherwise falls back to the stock XLA implementation (the
     reference's "fall through to the original function" behavior, …:60-61).
     """
-    if not _supported(
-        bias, mask, query_seq_lengths, key_value_seq_lengths, local_window_size
-    ) or implementation in ("xla", "cudnn"):
+    win_ok, window = _window_from_local(local_window_size, is_causal)
+    if (
+        not _supported(bias, mask, query_seq_lengths, key_value_seq_lengths)
+        or not win_ok
+        or implementation in ("xla", "cudnn")
+    ):
         return jax.nn.dot_product_attention(
             query,
             key,
@@ -77,7 +98,9 @@ def dot_product_attention(
     q = jnp.swapaxes(query, 1, 2)
     k = jnp.swapaxes(key, 1, 2)
     v = jnp.swapaxes(value, 1, 2)
-    out = flash_attention(q, k, v, causal=is_causal, sm_scale=scale)
+    out = flash_attention(
+        q, k, v, causal=is_causal, sm_scale=scale, window=window
+    )
     return jnp.swapaxes(out, 1, 2)
 
 
@@ -97,13 +120,20 @@ def install_patch() -> None:
 
     @patch_function(original, [jnn])
     def _flash_sdpa(orig, query, key, value, bias=None, mask=None, **kwargs):
-        if not _supported(
-            bias,
-            mask,
-            kwargs.get("query_seq_lengths"),
-            kwargs.get("key_value_seq_lengths"),
-            kwargs.get("local_window_size"),
-        ) or kwargs.get("implementation") in ("xla", "cudnn"):
+        is_causal = kwargs.get("is_causal", False)
+        win_ok, window = _window_from_local(
+            kwargs.get("local_window_size"), is_causal
+        )
+        if (
+            not _supported(
+                bias,
+                mask,
+                kwargs.get("query_seq_lengths"),
+                kwargs.get("key_value_seq_lengths"),
+            )
+            or not win_ok
+            or kwargs.get("implementation") in ("xla", "cudnn")
+        ):
             return orig(query, key, value, bias=bias, mask=mask, **kwargs)
         q = jnp.swapaxes(query, 1, 2)
         k = jnp.swapaxes(key, 1, 2)
@@ -112,8 +142,9 @@ def install_patch() -> None:
             q,
             k,
             v,
-            causal=kwargs.get("is_causal", False),
+            causal=is_causal,
             sm_scale=kwargs.get("scale"),
+            window=window,
         )
         return jnp.swapaxes(out, 1, 2)
 

@@ -183,3 +183,54 @@ def test_backward_unaligned_seq():
         np.testing.assert_allclose(
             gf, gr, atol=1e-4, rtol=1e-4, err_msg=f"d{name}"
         )
+
+
+@pytest.mark.parametrize("window", [64, 128, 300, 511])
+def test_sliding_window_forward(window):
+    """Mistral-style local attention vs dense windowed reference."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(11), 1, 2, 512, 128, jnp.float32)
+    out = flash_attention(q, k, v, window=window)
+    ref = vanilla_attention(q, k, v, causal=True, sm_scale=128**-0.5, window=window)
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_sliding_window_backward():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(12), 1, 2, 512, 128, jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(13), q.shape, jnp.float32)
+    w = 200
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, window=w) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            vanilla_attention(q, k, v, causal=True, sm_scale=128**-0.5, window=w) * g
+        )
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4, err_msg=f"d{name}")
+
+
+def test_sliding_window_cross_lengths():
+    """Decode-style window: q shorter than kv, window smaller than kv."""
+    key = jax.random.PRNGKey(14)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (1, 2, 128, 128), jnp.float32)
+    k = jax.random.normal(kk, (1, 2, 512, 128), jnp.float32)
+    v = jax.random.normal(kv_, (1, 2, 512, 128), jnp.float32)
+    out = flash_attention(q, k, v, window=150)
+    ref = vanilla_attention(q, k, v, causal=True, sm_scale=128**-0.5, window=150)
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_window_validation():
+    q = jnp.zeros((1, 1, 256, 128))
+    with pytest.raises(ValueError, match="causal"):
+        flash_attention(q, q, q, causal=False, window=64)
+    with pytest.raises(ValueError, match=">= 1"):
+        flash_attention(q, q, q, window=0)
+    # window >= seq is just full causal
+    out = flash_attention(q, q, q, window=10_000)
+    assert out.shape == q.shape

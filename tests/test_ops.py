@@ -118,3 +118,19 @@ def test_auto_patch_roundtrip():
 
 def test_version():
     assert flash_attention_tpu.__version__
+
+
+def test_sdpa_local_window():
+    """local_window_size routes to the kernel's sliding window."""
+    q = jax.random.normal(jax.random.PRNGKey(8), (1, 512, 2, 64), jnp.float32)
+    out = dot_product_attention(q, q, q, is_causal=True, local_window_size=(127, 0))
+    ref = jax.nn.dot_product_attention(
+        q, q, q, is_causal=True, local_window_size=(127, 0)
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+    # non-causal window falls back to stock implementation
+    out2 = dot_product_attention(q, q, q, is_causal=False, local_window_size=(4, 4))
+    ref2 = jax.nn.dot_product_attention(
+        q, q, q, is_causal=False, local_window_size=(4, 4)
+    )
+    np.testing.assert_allclose(out2, ref2, atol=2e-5, rtol=1e-5)
