@@ -205,26 +205,58 @@ def _last_q_block(params: _Params, ni: int, bq: int, bkv: int, j):
 # ---------------------------------------------------------------------------
 
 
+def _compact_dispatch(params, i, j, bq, bkv, nj, kv_padded, body):
+    """Block dispatch for compact grids: every visited cell runs; only the
+    mask decision remains (diagonal/window/pad-crossing tiles pay it)."""
+    visible = _fully_visible(params, i, j, bq, bkv)
+    if kv_padded:
+        needs_mask = jnp.logical_or(jnp.logical_not(visible), j == nj - 1)
+    else:
+        needs_mask = jnp.logical_not(visible)
+
+    @pl.when(needs_mask)
+    def _():
+        body(True, kv_padded)
+
+    @pl.when(jnp.logical_not(needs_mask))
+    def _():
+        body(False, False)
+
+
 def _fwd_kernel(
-    q_ref,
-    k_ref,
-    v_ref,
-    o_ref,
-    lse_ref,
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    *refs,
     params: _Params,
     nj: int,
     kv_padded: bool,
+    ncells: int | None = None,
 ):
+    """Forward kernel.
+
+    Rectangular mode (ncells=None): grid (BH, ni, nj), refs are
+    (q, k, v, o, lse, m, l, acc).  Compact mode: grid (BH, ncells) walking
+    exactly the causal cells; refs gain leading (i_tab, j_tab) scalar refs,
+    and the accumulator init/store conditions come from table transitions
+    instead of j==0 / j==nj-1.
+    """
+    if ncells is None:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        i, j = pl.program_id(1), pl.program_id(2)
+        init_cond = j == 0
+        store_cond = j == nj - 1
+    else:
+        (i_tab, j_tab, q_ref, k_ref, v_ref, o_ref, lse_ref,
+         m_scr, l_scr, acc_scr) = refs
+        c = pl.program_id(1)
+        i, j = i_tab[c], j_tab[c]
+        init_cond = jnp.logical_or(c == 0, i_tab[jnp.maximum(c - 1, 0)] != i)
+        store_cond = jnp.logical_or(
+            c == ncells - 1, i_tab[jnp.minimum(c + 1, ncells - 1)] != i
+        )
     bq, bkv = params.blocks.block_q, params.blocks.block_kv
     group, d = q_ref.shape[1], q_ref.shape[3]
     rows = group * bq
-    i, j = pl.program_id(1), pl.program_id(2)
 
-    @pl.when(j == 0)
+    @pl.when(init_cond)
     def _init():
         m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
         l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
@@ -270,9 +302,12 @@ def _fwd_kernel(
                 preferred_element_type=jnp.float32,
             )
 
-    _dispatch_block(params, i, j, bq, bkv, nj, kv_padded, body)
+    if ncells is None:
+        _dispatch_block(params, i, j, bq, bkv, nj, kv_padded, body)
+    else:
+        _compact_dispatch(params, i, j, bq, bkv, nj, kv_padded, body)
 
-    @pl.when(j == nj - 1)
+    @pl.when(store_cond)
     def _store():
         l = l_scr[:, 0:1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
@@ -284,6 +319,26 @@ def _fwd_kernel(
         lse_ref[...] = lse.reshape(1, group, bq)
 
 
+def _causal_cells_qmajor(params: _Params, ni: int, nj: int, bq: int, bkv: int):
+    """Host-side cell list for causal grids, q-major: exactly the (i, j)
+    blocks the mask admits, in scratch-accumulation order.  The compact-grid
+    replacement for iterating a rectangle and predicating (saves both the
+    empty-cell grid steps and their pipeline slots)."""
+    import numpy as np
+
+    offset = params.kv_len - params.q_len
+    ci, cj = [], []
+    for i in range(ni):
+        j1 = min(max(((i + 1) * bq - 1 + offset) // bkv, 0), nj - 1)
+        j0 = 0
+        if params.window is not None:
+            j0 = min(max((i * bq + offset - (params.window - 1)) // bkv, 0), j1)
+        for j in range(j0, j1 + 1):
+            ci.append(i)
+            cj.append(j)
+    return np.asarray(ci, np.int32), np.asarray(cj, np.int32)
+
+
 def _fwd(params: _Params, q, k, v):
     """q: [BH, group, Lq, D]; k, v: [BH, Lkv, D] (padded, aligned)."""
     bh, group, lq, d = q.shape
@@ -291,52 +346,69 @@ def _fwd(params: _Params, q, k, v):
     bq, bkv = params.blocks.block_q, params.blocks.block_kv
     ni, nj = lq // bq, lk // bkv
     kv_padded = lk != params.kv_len
+    out_shape = [
+        jax.ShapeDtypeStruct((bh, group, lq, d), q.dtype),
+        jax.ShapeDtypeStruct((bh, group, lq), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((group * bq, 128), jnp.float32),
+        pltpu.VMEM((group * bq, 128), jnp.float32),
+        pltpu.VMEM((group * bq, d), jnp.float32),
+    ]
+    if params.causal:
+        # Compact grid: visit exactly the causal/window cells.
+        ci, cj = _causal_cells_qmajor(params, ni, nj, bq, bkv)
+        ncells = len(ci)
+        kernel = functools.partial(
+            _fwd_kernel, params=params, nj=nj, kv_padded=kv_padded,
+            ncells=ncells,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(bh, ncells),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, group, bq, d), lambda b, c, it, jt: (b, 0, it[c], 0)
+                    ),
+                    pl.BlockSpec((1, bkv, d), lambda b, c, it, jt: (b, jt[c], 0)),
+                    pl.BlockSpec((1, bkv, d), lambda b, c, it, jt: (b, jt[c], 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (1, group, bq, d), lambda b, c, it, jt: (b, 0, it[c], 0)
+                    ),
+                    pl.BlockSpec(
+                        (1, group, bq), lambda b, c, it, jt: (b, 0, it[c])
+                    ),
+                ],
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=use_interpret(),
+        )(jnp.asarray(ci), jnp.asarray(cj), q, k, v)
+
     kernel = functools.partial(
         _fwd_kernel, params=params, nj=nj, kv_padded=kv_padded
     )
-    if params.causal:
-        # Out-of-range cells re-reference the nearest needed kv block: the
-        # index map not changing means Pallas skips the DMA entirely, so
-        # skipped cells cost no HBM bandwidth (the block-skip analog of the
-        # reference's If(doBlock) also skipping the dynamicSlice copies).
-        # With a sliding window, blocks behind the window clamp up too.
-        def kv_index(b, i, j):
-            return (
-                b,
-                jnp.clip(
-                    j,
-                    _first_kv_block(params, nj, bq, bkv, i),
-                    _last_kv_block(params, nj, bq, bkv, i),
-                ),
-                0,
-            )
-
-    else:
-
-        def kv_index(b, i, j):
-            return (b, j, 0)
-
     return pl.pallas_call(
         kernel,
         grid=(bh, ni, nj),
         in_specs=[
             pl.BlockSpec((1, group, bq, d), lambda b, i, j: (b, 0, i, 0)),
-            pl.BlockSpec((1, bkv, d), kv_index),
-            pl.BlockSpec((1, bkv, d), kv_index),
+            pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, group, bq, d), lambda b, i, j: (b, 0, i, 0)),
             pl.BlockSpec((1, group, bq), lambda b, i, j: (b, 0, i)),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, group, lq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, group, lq), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((group * bq, 128), jnp.float32),
-            pltpu.VMEM((group * bq, 128), jnp.float32),
-            pltpu.VMEM((group * bq, d), jnp.float32),
-        ],
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -369,30 +441,36 @@ def _recompute_p(
 
 
 def _dkv_kernel(
-    q_ref,
-    k_ref,
-    v_ref,
-    do_ref,
-    lse_ref,
-    di_ref,
-    dk_ref,
-    dv_ref,
-    dk_scr,
-    dv_scr,
-    *,
+    *refs,
     params: _Params,
     ni: int,
     nj: int,
     kv_padded: bool,
+    ncells: int | None = None,
 ):
     """dK/dV: kv block pinned, iterate q blocks — the reference's kv-outer /
-    q-inner loop order (cpp/flash_attention_qkv_packed.cpp:410-497)."""
+    q-inner loop order (cpp/flash_attention_qkv_packed.cpp:410-497).
+    Compact mode walks only the admitted cells, kv-major."""
+    if ncells is None:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+        j, i = pl.program_id(1), pl.program_id(2)
+        init_cond = i == 0
+        store_cond = i == ni - 1
+    else:
+        (j_tab, i_tab, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+        c = pl.program_id(1)
+        j, i = j_tab[c], i_tab[c]
+        init_cond = jnp.logical_or(c == 0, j_tab[jnp.maximum(c - 1, 0)] != j)
+        store_cond = jnp.logical_or(
+            c == ncells - 1, j_tab[jnp.minimum(c + 1, ncells - 1)] != j
+        )
     bq, bkv = params.blocks.bwd_dkv()
     group, d = q_ref.shape[1], q_ref.shape[3]
     rows = group * bq
-    j, i = pl.program_id(1), pl.program_id(2)
 
-    @pl.when(i == 0)
+    @pl.when(init_cond)
     def _init():
         dk_scr[...] = jnp.zeros(dk_scr.shape, jnp.float32)
         dv_scr[...] = jnp.zeros(dv_scr.shape, jnp.float32)
@@ -425,35 +503,45 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    _dispatch_block(params, i, j, bq, bkv, nj, kv_padded, body)
+    if ncells is None:
+        _dispatch_block(params, i, j, bq, bkv, nj, kv_padded, body)
+    else:
+        _compact_dispatch(params, i, j, bq, bkv, nj, kv_padded, body)
 
-    @pl.when(i == ni - 1)
+    @pl.when(store_cond)
     def _store():
         dk_ref[...] = dk_scr[...].reshape(1, bkv, d).astype(dk_ref.dtype)
         dv_ref[...] = dv_scr[...].reshape(1, bkv, d).astype(dv_ref.dtype)
 
 
 def _dq_kernel(
-    q_ref,
-    k_ref,
-    v_ref,
-    do_ref,
-    lse_ref,
-    di_ref,
-    dq_ref,
-    dq_scr,
-    *,
+    *refs,
     params: _Params,
     nj: int,
     kv_padded: bool,
+    ncells: int | None = None,
 ):
-    """dQ: q block pinned, iterate kv blocks (cf. …cpp:470 accumulation)."""
+    """dQ: q block pinned, iterate kv blocks (cf. …cpp:470 accumulation).
+    Compact mode walks only the admitted cells, q-major."""
+    if ncells is None:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr = refs
+        i, j = pl.program_id(1), pl.program_id(2)
+        init_cond = j == 0
+        store_cond = j == nj - 1
+    else:
+        (i_tab, j_tab, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+         dq_ref, dq_scr) = refs
+        c = pl.program_id(1)
+        i, j = i_tab[c], j_tab[c]
+        init_cond = jnp.logical_or(c == 0, i_tab[jnp.maximum(c - 1, 0)] != i)
+        store_cond = jnp.logical_or(
+            c == ncells - 1, i_tab[jnp.minimum(c + 1, ncells - 1)] != i
+        )
     bq, bkv = params.blocks.bwd_dq()
     group, d = q_ref.shape[1], q_ref.shape[3]
     rows = group * bq
-    i, j = pl.program_id(1), pl.program_id(2)
 
-    @pl.when(j == 0)
+    @pl.when(init_cond)
     def _init():
         dq_scr[...] = jnp.zeros(dq_scr.shape, jnp.float32)
 
@@ -474,11 +562,35 @@ def _dq_kernel(
             ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         )
 
-    _dispatch_block(params, i, j, bq, bkv, nj, kv_padded, body)
+    if ncells is None:
+        _dispatch_block(params, i, j, bq, bkv, nj, kv_padded, body)
+    else:
+        _compact_dispatch(params, i, j, bq, bkv, nj, kv_padded, body)
 
-    @pl.when(j == nj - 1)
+    @pl.when(store_cond)
     def _store():
         dq_ref[...] = dq_scr[...].reshape(1, group, bq, d).astype(dq_ref.dtype)
+
+
+def _causal_cells_kvmajor(params: _Params, ni: int, nj: int, bq: int, bkv: int):
+    """Host-side cell list, kv-major (for dKV): every kv block gets at least
+    one cell so its output store always fires."""
+    import numpy as np
+
+    offset = params.kv_len - params.q_len
+    cj, ci = [], []
+    for j in range(nj):
+        i0 = min(max((j * bkv - offset) // bq, 0), ni - 1)
+        i1 = ni - 1
+        if params.window is not None:
+            i1 = min(
+                max(((j + 1) * bkv - 1 - offset + params.window - 1) // bq, i0),
+                ni - 1,
+            )
+        for i in range(i0, i1 + 1):
+            cj.append(j)
+            ci.append(i)
+    return np.asarray(cj, np.int32), np.asarray(ci, np.int32)
 
 
 def _bwd_dkv(params: _Params, q, k, v, do, lse, di):
@@ -487,46 +599,71 @@ def _bwd_dkv(params: _Params, q, k, v, do, lse, di):
     bq, bkv = params.blocks.bwd_dkv()
     ni, nj = lq // bq, lk // bkv
     kv_padded = lk != params.kv_len
+    out_shape = [
+        jax.ShapeDtypeStruct(k.shape, k.dtype),
+        jax.ShapeDtypeStruct(v.shape, v.dtype),
+    ]
+    scratch = [
+        pltpu.VMEM((bkv, d), jnp.float32),
+        pltpu.VMEM((bkv, d), jnp.float32),
+    ]
+    if params.causal:
+        cj, ci = _causal_cells_kvmajor(params, ni, nj, bq, bkv)
+        ncells = len(cj)
+        kernel = functools.partial(
+            _dkv_kernel, params=params, ni=ni, nj=nj, kv_padded=kv_padded,
+            ncells=ncells,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(bh, ncells),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, group, bq, d), lambda b, c, jt, it: (b, 0, it[c], 0)
+                    ),
+                    pl.BlockSpec((1, bkv, d), lambda b, c, jt, it: (b, jt[c], 0)),
+                    pl.BlockSpec((1, bkv, d), lambda b, c, jt, it: (b, jt[c], 0)),
+                    pl.BlockSpec(
+                        (1, group, bq, d), lambda b, c, jt, it: (b, 0, it[c], 0)
+                    ),
+                    pl.BlockSpec((1, group, bq), lambda b, c, jt, it: (b, 0, it[c])),
+                    pl.BlockSpec((1, group, bq), lambda b, c, jt, it: (b, 0, it[c])),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, bkv, d), lambda b, c, jt, it: (b, jt[c], 0)),
+                    pl.BlockSpec((1, bkv, d), lambda b, c, jt, it: (b, jt[c], 0)),
+                ],
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=use_interpret(),
+        )(jnp.asarray(cj), jnp.asarray(ci), q, k, v, do, lse, di)
+
     kernel = functools.partial(
         _dkv_kernel, params=params, ni=ni, nj=nj, kv_padded=kv_padded
     )
-    if params.causal:
-        # Out-of-range q blocks re-reference the nearest needed one: no DMA.
-        def qi(b, j, i):
-            return jnp.clip(
-                i,
-                _first_q_block(params, ni, bq, bkv, j),
-                _last_q_block(params, ni, bq, bkv, j),
-            )
-
-    else:
-
-        def qi(b, j, i):
-            return i
-
     return pl.pallas_call(
         kernel,
         grid=(bh, nj, ni),
         in_specs=[
-            pl.BlockSpec((1, group, bq, d), lambda b, j, i: (b, 0, qi(b, j, i), 0)),
+            pl.BlockSpec((1, group, bq, d), lambda b, j, i: (b, 0, i, 0)),
             pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),
             pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),
-            pl.BlockSpec((1, group, bq, d), lambda b, j, i: (b, 0, qi(b, j, i), 0)),
-            pl.BlockSpec((1, group, bq), lambda b, j, i: (b, 0, qi(b, j, i))),
-            pl.BlockSpec((1, group, bq), lambda b, j, i: (b, 0, qi(b, j, i))),
+            pl.BlockSpec((1, group, bq, d), lambda b, j, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, group, bq), lambda b, j, i: (b, 0, i)),
+            pl.BlockSpec((1, group, bq), lambda b, j, i: (b, 0, i)),
         ],
         out_specs=[
             pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),
             pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((bkv, d), jnp.float32),
-            pltpu.VMEM((bkv, d), jnp.float32),
-        ],
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -540,34 +677,54 @@ def _bwd_dq(params: _Params, q, k, v, do, lse, di):
     bq, bkv = params.blocks.bwd_dq()
     ni, nj = lq // bq, lk // bkv
     kv_padded = lk != params.kv_len
+    if params.causal:
+        ci, cj = _causal_cells_qmajor(params, ni, nj, bq, bkv)
+        ncells = len(ci)
+        kernel = functools.partial(
+            _dq_kernel, params=params, nj=nj, kv_padded=kv_padded,
+            ncells=ncells,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(bh, ncells),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, group, bq, d), lambda b, c, it, jt: (b, 0, it[c], 0)
+                    ),
+                    pl.BlockSpec((1, bkv, d), lambda b, c, it, jt: (b, jt[c], 0)),
+                    pl.BlockSpec((1, bkv, d), lambda b, c, it, jt: (b, jt[c], 0)),
+                    pl.BlockSpec(
+                        (1, group, bq, d), lambda b, c, it, jt: (b, 0, it[c], 0)
+                    ),
+                    pl.BlockSpec((1, group, bq), lambda b, c, it, jt: (b, 0, it[c])),
+                    pl.BlockSpec((1, group, bq), lambda b, c, it, jt: (b, 0, it[c])),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (1, group, bq, d), lambda b, c, it, jt: (b, 0, it[c], 0)
+                    ),
+                ],
+                scratch_shapes=[pltpu.VMEM((group * bq, d), jnp.float32)],
+            ),
+            out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=use_interpret(),
+        )(jnp.asarray(ci), jnp.asarray(cj), q, k, v, do, lse, di)[0]
+
     kernel = functools.partial(
         _dq_kernel, params=params, nj=nj, kv_padded=kv_padded
     )
-    if params.causal:
-
-        def kv_index(b, i, j):
-            return (
-                b,
-                jnp.clip(
-                    j,
-                    _first_kv_block(params, nj, bq, bkv, i),
-                    _last_kv_block(params, nj, bq, bkv, i),
-                ),
-                0,
-            )
-
-    else:
-
-        def kv_index(b, i, j):
-            return (b, j, 0)
-
     return pl.pallas_call(
         kernel,
         grid=(bh, ni, nj),
         in_specs=[
             pl.BlockSpec((1, group, bq, d), lambda b, i, j: (b, 0, i, 0)),
-            pl.BlockSpec((1, bkv, d), kv_index),
-            pl.BlockSpec((1, bkv, d), kv_index),
+            pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, group, bq, d), lambda b, i, j: (b, 0, i, 0)),
             pl.BlockSpec((1, group, bq), lambda b, i, j: (b, 0, i)),
             pl.BlockSpec((1, group, bq), lambda b, i, j: (b, 0, i)),
