@@ -9,14 +9,13 @@ non-contiguous, so BlockSpec pipelining cannot fetch them) and runs online
 softmax over one compute block per grid step, skipping blocks past the
 sequence length — so decode cost tracks the *actual* length, not max_len.
 
-INT8/FP8 pages are supported with per-token scales: scale pages DMA alongside
-payload pages and fold into the score/weight tensors (two (group, bk) VPU
-multiplies), keeping the HBM stream at 1 byte/element — the bandwidth win
-that makes quantized KV worth it at decode time.
+Double-buffered: while a block computes, the next computing cell's pages
+stream into the other half of the VMEM buffers (the walk order skips
+past-length blocks, so prefetch always targets real work).  INT8/FP8 pages
+are supported with per-token scales: scale pages DMA alongside payloads and
+fold into the score/weight tensors, keeping the HBM stream at 1 byte/element.
 
-v0 is single-buffered (DMA -> wait -> compute per block); double-buffered
-prefetch is the known next step.  A pure-jnp reference implementation backs
-the parity tests.
+A pure-jnp reference implementation backs the parity tests.
 """
 
 from __future__ import annotations
@@ -38,9 +37,9 @@ def _paged_kernel(
     pages_ref,  # [batch * pages_per_seq]
     # inputs
     q_ref,  # [1, 1, group, d] VMEM
-    k_hbm,  # [hkv, n_pages, page_size, d] ANY
+    k_hbm,  # [hkv, n_pages, page_size, d] HBM
     v_hbm,
-    ks_hbm,  # [hkv, n_pages, page_size] ANY or None-placeholder
+    ks_hbm,  # [hkv, n_pages, page_size] HBM (quant only; else placeholder)
     vs_hbm,
     # outputs
     o_ref,  # [1, 1, group, d] VMEM
@@ -48,16 +47,19 @@ def _paged_kernel(
     m_scr,
     l_scr,
     acc_scr,
-    k_buf,  # [ppcb, page_size, d] VMEM
+    k_buf,  # [2, ppcb, page_size, d] VMEM (double-buffered)
     v_buf,
-    ks_buf,  # [ppcb, page_size] VMEM f32 (quant only)
+    ks_buf,  # [2, ppcb, page_size] VMEM f32
     vs_buf,
-    k_sems,
+    buf_idx,  # SMEM [1] int32: which buffer half the CURRENT cell uses
+    k_sems,  # DMA sems [2, ppcb]
     v_sems,
     ks_sems,
     vs_sems,
     *,
     sm_scale: float,
+    batch: int,
+    hkv: int,
     pages_per_seq: int,
     ppcb: int,
     page_size: int,
@@ -69,50 +71,87 @@ def _paged_kernel(
     bk = ppcb * page_size
     length = lengths_ref[b]
 
+    def copies(bb, hh, ii, slot):
+        """Per-page DMA descriptors for cell (bb, hh, ii) into buffer half
+        `slot`.  Recreated identically at start and wait time."""
+        out = []
+        for p in range(ppcb):
+            idx = pages_ref[bb * pages_per_seq + ii * ppcb + p]
+            out.append(
+                pltpu.make_async_copy(
+                    k_hbm.at[hh, idx], k_buf.at[slot, p], k_sems.at[slot, p]
+                )
+            )
+            out.append(
+                pltpu.make_async_copy(
+                    v_hbm.at[hh, idx], v_buf.at[slot, p], v_sems.at[slot, p]
+                )
+            )
+            if quantized:
+                out.append(
+                    pltpu.make_async_copy(
+                        ks_hbm.at[hh, idx], ks_buf.at[slot, p], ks_sems.at[slot, p]
+                    )
+                )
+                out.append(
+                    pltpu.make_async_copy(
+                        vs_hbm.at[hh, idx], vs_buf.at[slot, p], vs_sems.at[slot, p]
+                    )
+                )
+        return out
+
+    def start(bb, hh, ii, slot):
+        for c in copies(bb, hh, ii, slot):
+            c.start()
+
     @pl.when(i == 0)
     def _init():
         m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
         l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
         acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
+    # Very first cell: fetch its own pages into half 0 (lengths >= 1 is a
+    # kernel precondition, so cell (0,0,0) always computes).
+    is_first = jnp.logical_and(b == 0, jnp.logical_and(h == 0, i == 0))
+
+    @pl.when(is_first)
+    def _seed():
+        buf_idx[0] = 0
+        start(b, h, i, 0)
+
     @pl.when(i * bk < length)
     def _compute():
-        # gather this block's pages: one DMA per page, all in flight at once
-        copies = []
-        for p in range(ppcb):
-            idx = pages_ref[b * pages_per_seq + i * ppcb + p]
-            cp = [
-                pltpu.make_async_copy(k_hbm.at[h, idx], k_buf.at[p], k_sems.at[p]),
-                pltpu.make_async_copy(v_hbm.at[h, idx], v_buf.at[p], v_sems.at[p]),
-            ]
+        slot = buf_idx[0]
+
+        # Next computing cell (skip past-length blocks): same sequence if its
+        # next block is in range, else first block of the next (h, b).
+        more_here = (i + 1) * bk < length
+        nb = jnp.where(more_here, b, jnp.where(h + 1 < hkv, b, b + 1))
+        nh = jnp.where(more_here, h, jnp.where(h + 1 < hkv, h + 1, 0))
+        ni_ = jnp.where(more_here, i + 1, 0)
+
+        @pl.when(nb < batch)
+        def _prefetch():
+            start(nb, nh, ni_, 1 - slot)
+
+        # Wait for this cell's pages (started by the previous computing cell
+        # or by the seed above).
+        cps = copies(b, h, i, slot)
+        per = 4 if quantized else 2
+        for c in range(ppcb):
+            cps[c * per].wait()  # K payload
             if quantized:
-                cp.append(
-                    pltpu.make_async_copy(
-                        ks_hbm.at[h, idx], ks_buf.at[p], ks_sems.at[p]
-                    )
-                )
-                cp.append(
-                    pltpu.make_async_copy(
-                        vs_hbm.at[h, idx], vs_buf.at[p], vs_sems.at[p]
-                    )
-                )
-            for c in cp:
-                c.start()
-            copies.append(cp)
-        for cp in copies:
-            cp[0].wait()  # K payload
-            if quantized:
-                cp[2].wait()  # K scales
+                cps[c * per + 2].wait()  # K scales
 
         q = q_ref[0, 0]  # [group, d]
-        k = k_buf[...].reshape(bk, d)
+        k = k_buf[slot].reshape(bk, d)
         s = jax.lax.dot_general(
             q, k.astype(q.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         s = s * sm_scale
         if quantized:
-            s = s * ks_buf[...].reshape(1, bk)
+            s = s * ks_buf[slot].reshape(1, bk)
         col = i * bk + jax.lax.broadcasted_iota(jnp.int32, (group, bk), 1)
         s = s + jnp.where(col < length, 0.0, DEFAULT_MASK_VALUE)
 
@@ -125,17 +164,18 @@ def _paged_kernel(
         l_scr[...] = alpha * l_prev + jnp.sum(p_w, axis=-1, keepdims=True)
         m_scr[...] = m_next
 
-        for cp in copies:
-            cp[1].wait()  # V payload
+        for c in range(ppcb):
+            cps[c * per + 1].wait()  # V payload
             if quantized:
-                cp[3].wait()  # V scales
+                cps[c * per + 3].wait()  # V scales
         if quantized:
-            p_w = p_w * vs_buf[...].reshape(1, bk)
-        v = v_buf[...].reshape(bk, d)
+            p_w = p_w * vs_buf[slot].reshape(1, bk)
+        v = v_buf[slot].reshape(bk, d)
         acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + jax.lax.dot(
             p_w.astype(q.dtype), v.astype(q.dtype),
             preferred_element_type=jnp.float32,
         )
+        buf_idx[0] = 1 - slot
 
     @pl.when(i == nblocks - 1)
     def _store():
@@ -164,8 +204,9 @@ def paged_attention(
       q: [batch, q_heads, head_dim] — one new token per sequence.
       k_pages, v_pages: [kv_heads, total_pages, page_size, head_dim]
         (bf16/f32, or int8/fp8 with k_scales/v_scales given).
-      lengths: [batch] int32 — valid tokens per sequence (INCLUDING the
-        current token, already written to its page).
+      lengths: [batch] int32 — valid tokens per sequence INCLUDING the
+        current token already written to its page.  Must be >= 1 (the
+        double-buffered prefetch walk assumes block 0 always computes).
       page_indices: [batch, pages_per_seq] int32 — physical page ids.
       k_scales, v_scales: [kv_heads, total_pages, page_size] per-token
         dequant scales for quantized pages.
@@ -196,6 +237,8 @@ def paged_attention(
     kernel = functools.partial(
         _paged_kernel,
         sm_scale=float(sm_scale),
+        batch=batch,
+        hkv=hkv,
         pages_per_seq=pages_per_seq,
         ppcb=ppcb,
         page_size=page_size,
@@ -215,7 +258,7 @@ def paged_attention(
             ),
             # Pages MUST stay in HBM: with ANY, Mosaic may place small page
             # arrays in VMEM, where per-page DMA slices hit (8,128) tiling
-            # alignment limits at head_dim 64.
+            # alignment limits.
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -228,14 +271,15 @@ def paged_attention(
             pltpu.VMEM((group, 128), jnp.float32),
             pltpu.VMEM((group, 128), jnp.float32),
             pltpu.VMEM((group, d), jnp.float32),
-            pltpu.VMEM((ppcb, page_size, d), k_pages.dtype),
-            pltpu.VMEM((ppcb, page_size, d), v_pages.dtype),
-            pltpu.VMEM((ppcb, page_size), jnp.float32),
-            pltpu.VMEM((ppcb, page_size), jnp.float32),
-            pltpu.SemaphoreType.DMA((ppcb,)),
-            pltpu.SemaphoreType.DMA((ppcb,)),
-            pltpu.SemaphoreType.DMA((ppcb,)),
-            pltpu.SemaphoreType.DMA((ppcb,)),
+            pltpu.VMEM((2, ppcb, page_size, d), k_pages.dtype),
+            pltpu.VMEM((2, ppcb, page_size, d), v_pages.dtype),
+            pltpu.VMEM((2, ppcb, page_size), jnp.float32),
+            pltpu.VMEM((2, ppcb, page_size), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, ppcb)),
+            pltpu.SemaphoreType.DMA((2, ppcb)),
+            pltpu.SemaphoreType.DMA((2, ppcb)),
+            pltpu.SemaphoreType.DMA((2, ppcb)),
         ],
     )
     out = pl.pallas_call(
@@ -243,11 +287,11 @@ def paged_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((batch, hkv, group, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=use_interpret(),
     )(
-        lengths.astype(jnp.int32),
+        jnp.maximum(lengths.astype(jnp.int32), 1),
         page_indices.reshape(-1).astype(jnp.int32),
         q4,
         k_pages,
@@ -287,7 +331,7 @@ def paged_attention_ref(
     s = jnp.einsum(
         "bhgd,bhld->bhgl", q4, k, preferred_element_type=jnp.float32
     ) * sm_scale
-    valid = jnp.arange(l_max)[None, :] < lengths[:, None]
+    valid = jnp.arange(l_max)[None, :] < jnp.maximum(lengths, 1)[:, None]
     s = jnp.where(valid[:, None, None, :], s, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhgl,bhld->bhgd", p, v)

@@ -26,6 +26,8 @@ from ..config import use_interpret
 from ..kernels.block_sizes import MIN_BLOCK, BlockSizes, default_blocks
 from ..kernels.flash_attention import (
     _dispatch_block,
+    _first_kv_block,
+    _last_kv_block,
     _mask_for_block,
     _Params,
     _round_up,
@@ -223,15 +225,30 @@ def flash_attention_kv_quant(
     kernel = functools.partial(
         _fwd_quant_kernel, params=params, nj=nj, kv_padded=kv_padded
     )
+    if params.causal:
+        # skipped above-diagonal cells re-reference the last needed block:
+        # unchanged index map => no DMA (same trick as the main kernel)
+        def jc(b, i, j):
+            return jnp.clip(
+                j,
+                _first_kv_block(params, nj, bq, bkv, i),
+                _last_kv_block(params, nj, bq, bkv, i),
+            )
+
+    else:
+
+        def jc(b, i, j):
+            return j
+
     out = pl.pallas_call(
         kernel,
         grid=(bh, ni, nj),
         in_specs=[
             pl.BlockSpec((1, group, bq, dp), lambda b, i, j: (b, 0, i, 0)),
-            pl.BlockSpec((1, bkv, dp), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, j)),
-            pl.BlockSpec((1, bkv, dp), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, j)),
+            pl.BlockSpec((1, bkv, dp), lambda b, i, j: (b, jc(b, i, j), 0)),
+            pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, jc(b, i, j))),
+            pl.BlockSpec((1, bkv, dp), lambda b, i, j: (b, jc(b, i, j), 0)),
+            pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, jc(b, i, j))),
         ],
         out_specs=pl.BlockSpec((1, group, bq, dp), lambda b, i, j: (b, 0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, group, lqp, dp), q.dtype),
