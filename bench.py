@@ -235,10 +235,45 @@ def bench_llama(slots=4, ctx=1024, max_len=2048, steps=16) -> dict:
     }
 
 
+def bench_train(batch=8, block=1024, steps=8) -> dict:
+    """GPT-2 124M training step throughput (tokens/s/chip), bf16 activations,
+    the reference demo's workload scaled to its full block size."""
+    from flash_attention_tpu.models import gpt
+    from flash_attention_tpu.training import make_optimizer, make_train_step
+
+    cfg = gpt.GPT2_124M
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(3e-4, warmup_iters=10, lr_decay_iters=1000)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (batch, block), 0, cfg.vocab_size)
+    rng = jax.random.PRNGKey(2)
+
+    @jax.jit
+    def chained(params, opt_state, idx, rng):
+        loss = jnp.float32(0)
+        for _ in range(steps):
+            params, opt_state, loss = step(params, opt_state, idx, idx, rng)
+        return params, opt_state, loss
+
+    p, o, loss = chained(params, opt_state, idx, rng)
+    float(loss)
+    t0 = time.perf_counter()
+    p, o, loss = chained(params, opt_state, idx, rng)
+    float(loss)
+    dt = (time.perf_counter() - t0) / steps
+    return {
+        "config": f"train GPT2-124M b{batch} block{block} bf16",
+        "ms": dt * 1e3,
+        "tokens_per_s": batch * block / dt,
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--all", action="store_true")
     parser.add_argument("--llama", action="store_true")
+    parser.add_argument("--train", action="store_true")
     args = parser.parse_args()
 
     headline = bench_attention_fwd()
@@ -258,6 +293,12 @@ def main() -> None:
                 f"TTFT {r['ttft_ms']:.1f} ms",
                 file=sys.stderr,
             )
+    if args.train:
+        r = bench_train()
+        print(
+            f"{r['config']:55s} {r['ms']:8.1f} ms/step {r['tokens_per_s']:7.0f} tok/s",
+            file=sys.stderr,
+        )
     if args.llama:
         r = bench_llama()
         print(
