@@ -110,10 +110,13 @@ def bench_attention_bwd(b=4, h=12, l=2048, d=128, dtype=jnp.bfloat16) -> dict:
 
 
 def bench_decode(
-    slots=8, ctx=1024, steps=64, kv_quant_dtype=None
+    slots=8, ctx=512, steps=64, kv_quant_dtype=None
 ) -> dict:
     """GPT-2 124M greedy decode throughput (tokens/s/chip) with a warm KV
-    cache at `ctx` context, plus prefill-time TTFT."""
+    cache at `ctx` context, plus prefill-time TTFT.
+
+    ctx + steps must stay below the cache capacity (block_size) — decoding
+    at capacity degrades to overwriting the last cache entry."""
     from flash_attention_tpu.inference import init_cache
     from flash_attention_tpu.inference.model_runner import decode_loop, prefill
     from flash_attention_tpu.models import gpt

@@ -62,6 +62,10 @@ inline uint64_t splitmix64(uint64_t* state) {
 // (reference get_batch, demo/train.py:175-188).  Deterministic in `seed`.
 void fat_sample_batch(const uint16_t* data, uint64_t n, uint64_t seed,
                       int batch, int block, uint16_t* x_out, uint16_t* y_out) {
+  // Need at least block+1 tokens for one (x, y) crop; the Python wrapper
+  // validates and raises, this guard only prevents UB on misuse (an
+  // unsigned underflow here would index ~2^64 and segfault).
+  if (n < static_cast<uint64_t>(block) + 1) return;
   uint64_t state = seed ^ 0xdeadbeefcafef00dULL;
   const uint64_t max_start = n - static_cast<uint64_t>(block) - 1;
   for (int b = 0; b < batch; ++b) {

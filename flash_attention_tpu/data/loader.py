@@ -127,6 +127,11 @@ def sample_batch(
     """Random next-token crops: x [batch, block], y shifted by one
     (reference get_batch, demo/train.py:175-188).  Deterministic in seed."""
     data = np.ascontiguousarray(data, np.uint16)
+    if data.size <= block:
+        raise ValueError(
+            f"corpus has {data.size} tokens but block={block} crops need at "
+            "least block+1 tokens"
+        )
     lib = load_native_library()
     if lib is not None:
         x = np.zeros((batch, block), np.uint16)

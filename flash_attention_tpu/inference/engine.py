@@ -128,6 +128,8 @@ class InferenceEngine:
         top_k: int | None = None,
         eos_id: int | None = None,
     ) -> int:
+        if not prompt:
+            raise ValueError("prompt must contain at least one token")
         self._uid += 1
         req = Request(
             uid=self._uid,
@@ -244,7 +246,6 @@ class InferenceEngine:
             jnp.asarray(active),
         )
         self.stats["decode_steps"] += 1
-        logits_np = None
         done: list[int] = []
         for slot, req in self.running.items():
             self._rng, sub = jax.random.split(self._rng)
@@ -267,4 +268,3 @@ class InferenceEngine:
                 done.append(slot)
         for slot in done:
             del self.running[slot]
-        del logits_np

@@ -84,19 +84,9 @@ def init_cache(
 
 
 def _quantize_tokens(x: jax.Array, quant_dtype):
-    """Per-token symmetric quantization: x [..., d] -> payload, scales[...]."""
-    x32 = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(x32), axis=-1)
-    if quant_dtype == jnp.int8:
-        scale = jnp.where(amax == 0, 1.0, amax / 127.0)
-        payload = jnp.clip(jnp.round(x32 / scale[..., None]), -127, 127).astype(
-            jnp.int8
-        )
-    else:
-        fmax = float(jnp.finfo(quant_dtype).max)
-        scale = jnp.where(amax == 0, 1.0, amax / fmax)
-        payload = (x32 / scale[..., None]).astype(quant_dtype)
-    return payload, scale
+    from ..quant.kv import quantize_tokens
+
+    return quantize_tokens(x, quant_dtype)
 
 
 def prefill_write(

@@ -95,10 +95,13 @@ def decode_step(
     attend = (
         decode_attention if attn_impl == "einsum" else decode_attention_paged
     )
-    positions = jnp.clip(cache.lengths, 0, cfg.block_size - 1)
-    x = (params["wte"][tokens] + params["wpe"][positions]).astype(cfg.dtype)[
-        :, None
-    ]  # [S, 1, E]
+    # Clamp to CACHE capacity (may differ from cfg.block_size), and stop
+    # advancing lengths at max_len so a full slot degrades to overwriting
+    # its last entry instead of silently corrupting the valid-length mask.
+    # Callers must retire sequences at capacity (the engine does).
+    positions = jnp.clip(cache.lengths, 0, cache.max_len - 1)
+    pos_emb = params["wpe"][jnp.clip(positions, 0, cfg.block_size - 1)]
+    x = (params["wte"][tokens] + pos_emb).astype(cfg.dtype)[:, None]  # [S, 1, E]
     for li, blk in enumerate(params["blocks"]):
         xa = _layer_norm(x, blk["ln1"])
         q, k, v = _qkv(xa, blk, cfg)
@@ -112,6 +115,7 @@ def decode_step(
     x = _layer_norm(x, params["lnf"])
     logits = (x[:, 0] @ params["wte"].astype(x.dtype).T).astype(jnp.float32)
     step = 1 if active is None else active.astype(jnp.int32)
+    step = jnp.where(cache.lengths < cache.max_len - 1, step, 0)
     cache = kvc.advance_lengths(cache, step)
     return cache, logits
 

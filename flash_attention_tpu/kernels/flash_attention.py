@@ -184,22 +184,6 @@ def _first_kv_block(params: _Params, nj: int, bq: int, bkv: int, i):
     )
 
 
-def _first_q_block(params: _Params, ni: int, bq: int, bkv: int, j):
-    """First q block index that attends to kv block j (causal)."""
-    offset = params.kv_len - params.q_len
-    return jnp.clip((j * bkv - offset) // bq, 0, ni - 1)
-
-
-def _last_q_block(params: _Params, ni: int, bq: int, bkv: int, j):
-    """Last q block attending to kv block j (ni-1 unless sliding window)."""
-    if params.window is None:
-        return ni - 1
-    offset = params.kv_len - params.q_len
-    return jnp.clip(
-        ((j + 1) * bkv - 1 - offset + params.window - 1) // bq, 0, ni - 1
-    )
-
-
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------

@@ -218,6 +218,8 @@ def decode_step(
     x = _rms_norm(x, params["norm_f"], cfg.rms_eps)
     logits = _mm(x[:, 0], params["lm_head"]).astype(jnp.float32)
     step = 1 if active is None else active.astype(jnp.int32)
+    # stop advancing at capacity (callers retire full sequences)
+    step = jnp.where(cache.lengths < cache.max_len - 1, step, 0)
     return kvc.advance_lengths(cache, step), logits
 
 

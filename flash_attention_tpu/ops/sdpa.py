@@ -92,6 +92,7 @@ def dot_product_attention(
             query_seq_lengths=query_seq_lengths,
             key_value_seq_lengths=key_value_seq_lengths,
             local_window_size=local_window_size,
+            implementation=implementation,
             **kwargs,
         )
     # BTNH -> BNTH for the kernel.

@@ -57,27 +57,33 @@ class QuantizedKV:
         return self.k.shape[2]
 
 
+def quantize_tokens(x: jax.Array, dtype=jnp.int8):
+    """Per-token symmetric quantization: x [..., d] -> (payload, scales[...]).
+
+    The single source of truth for INT8/FP8 token quantization — the KV
+    cache (inference/kv_cache.py) and QuantizedKV both use it, so cache
+    contents and the quant-kernel parity tests can never drift apart.
+    """
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1)
+    if dtype == jnp.int8:
+        scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+        payload = jnp.clip(
+            jnp.round(x32 / scale[..., None]), -127, 127
+        ).astype(jnp.int8)
+    else:  # fp8
+        fmax = float(jnp.finfo(dtype).max)
+        scale = jnp.where(amax == 0, 1.0, amax / fmax)
+        payload = (x32 / scale[..., None]).astype(dtype)
+    return payload, scale
+
+
 def quantize_kv(
     k: jax.Array, v: jax.Array, *, dtype=jnp.int8
 ) -> QuantizedKV:
     """Per-token symmetric quantization of K and V ([B, H, L, D])."""
-
-    def q1(x):
-        x32 = x.astype(jnp.float32)
-        amax = jnp.max(jnp.abs(x32), axis=-1)
-        if dtype == jnp.int8:
-            scale = jnp.where(amax == 0, 1.0, amax / 127.0)
-            payload = jnp.clip(
-                jnp.round(x32 / scale[..., None]), -127, 127
-            ).astype(jnp.int8)
-        else:  # fp8
-            fmax = float(jnp.finfo(dtype).max)
-            scale = jnp.where(amax == 0, 1.0, amax / fmax)
-            payload = (x32 / scale[..., None]).astype(dtype)
-        return payload, scale
-
-    kq, ks = q1(k)
-    vq, vs = q1(v)
+    kq, ks = quantize_tokens(k, dtype)
+    vq, vs = quantize_tokens(v, dtype)
     return QuantizedKV(kq, ks, vq, vs)
 
 

@@ -56,3 +56,9 @@ def test_native_matches_fallback():
     ids_native = tok_native.encode(TEXT)
     np.testing.assert_array_equal(ids_native, ids_py)
     assert tok_native.decode(ids_native) == TEXT
+
+
+def test_sample_batch_rejects_tiny_corpus():
+    """Review finding: native path segfaulted on corpora <= block tokens."""
+    with pytest.raises(ValueError, match="block"):
+        sample_batch(np.arange(10, dtype=np.uint16), seed=0, batch=2, block=16)

@@ -112,3 +112,24 @@ def test_engine_max_one_token(params):
     engine.submit([1, 2, 3], max_new_tokens=1)
     out = engine.run()[0].output
     assert out == _greedy_ref(params, [1, 2, 3], 1)
+
+
+def test_engine_rejects_empty_prompt(params):
+    engine = InferenceEngine(params, CFG, slots=1, max_len=256)
+    with pytest.raises(ValueError, match="at least one token"):
+        engine.submit([])
+
+
+def test_decode_stops_advancing_at_capacity(params):
+    """Lengths must not grow past cache capacity (review finding: positions
+    clamp while lengths grew unboundedly, silently corrupting attention)."""
+    cache = init_cache(CFG.n_layer, 1, CFG.kv_heads, 256, CFG.head_dim, dtype=CFG.dtype)
+    cache, _ = prefill(
+        params, jnp.zeros((8,), jnp.int32), CFG, cache, jnp.int32(0)
+    )
+    from flash_attention_tpu.inference import set_length
+
+    cache = set_length(cache, jnp.int32(0), 255)  # at capacity
+    tok = jnp.zeros((1,), jnp.int32)
+    cache, _ = decode_step(params, tok, CFG, cache)
+    assert int(cache.lengths[0]) == 255  # clamped, not 256
