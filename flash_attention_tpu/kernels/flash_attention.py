@@ -62,6 +62,9 @@ class _Params:
     # Sliding window: attend only to the last `window` positions (inclusive
     # of self); None = full causal.  Mistral-style local attention.
     window: int | None = None
+    # Packed-sequence (segment-id) masking: kernels receive per-token segment
+    # ids and tokens only attend within their segment.
+    segmented: bool = False
 
 
 def _round_up(x: int, m: int) -> int:
@@ -101,6 +104,17 @@ def _mask_for_block(
         pad_mask = col_pos < params.kv_len
         mask = pad_mask if mask is None else mask & pad_mask
     return mask
+
+
+def _seg_mask(qseg_ref, kvseg_ref, col_start: int, width: int, group: int, bq: int):
+    """Segment mask for one tile: True where q and kv tokens share a segment
+    (multi-document packing, no cross-document attention).  Rows are
+    group-major copies of the bq q positions, so the (bq, width) mask tiles
+    `group` times.  col_start/width are static (inner-tile offsets)."""
+    sq = qseg_ref[0].reshape(bq, 1)  # [bq, 1]
+    skv = kvseg_ref[0, :, col_start:col_start + width]  # [1, width]
+    mask = sq == skv
+    return jnp.tile(mask, (group, 1)) if group > 1 else mask
 
 
 def _fully_visible(params: _Params, i, j, bq: int, bkv: int):
@@ -222,14 +236,18 @@ def _fwd_kernel(
     and the accumulator init/store conditions come from table transitions
     instead of j==0 / j==nj-1.
     """
+    nseg = 2 if params.segmented else 0
     if ncells is None:
-        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        q_ref, k_ref, v_ref = refs[:3]
+        qseg_ref, kvseg_ref = refs[3:5] if nseg else (None, None)
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = refs[3 + nseg:]
         i, j = pl.program_id(1), pl.program_id(2)
         init_cond = j == 0
         store_cond = j == nj - 1
     else:
-        (i_tab, j_tab, q_ref, k_ref, v_ref, o_ref, lse_ref,
-         m_scr, l_scr, acc_scr) = refs
+        i_tab, j_tab, q_ref, k_ref, v_ref = refs[:5]
+        qseg_ref, kvseg_ref = refs[5:7] if nseg else (None, None)
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = refs[5 + nseg:]
         c = pl.program_id(1)
         i, j = i_tab[c], j_tab[c]
         init_cond = jnp.logical_or(c == 0, i_tab[jnp.maximum(c - 1, 0)] != i)
@@ -270,6 +288,11 @@ def _fwd_kernel(
             )
             if mask is not None:
                 s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+            if params.segmented:
+                seg = _seg_mask(
+                    qseg_ref, kvseg_ref, t * bkv_in, bkv_in, group, bq
+                )
+                s = s + jnp.where(seg, 0.0, DEFAULT_MASK_VALUE)
 
             m_prev = m_scr[...]  # (rows, 128), lane-replicated
             l_prev = l_scr[...]
@@ -323,8 +346,9 @@ def _causal_cells_qmajor(params: _Params, ni: int, nj: int, bq: int, bkv: int):
     return np.asarray(ci, np.int32), np.asarray(cj, np.int32)
 
 
-def _fwd(params: _Params, q, k, v):
-    """q: [BH, group, Lq, D]; k, v: [BH, Lkv, D] (padded, aligned)."""
+def _fwd(params: _Params, q, k, v, qseg=None, kvseg=None):
+    """q: [BH, group, Lq, D]; k, v: [BH, Lkv, D]; optional segment ids
+    qseg [BH, 1, Lq], kvseg [BH, 1, Lkv] (padded, aligned)."""
     bh, group, lq, d = q.shape
     lk = k.shape[1]
     bq, bkv = params.blocks.block_q, params.blocks.block_kv
@@ -339,6 +363,7 @@ def _fwd(params: _Params, q, k, v):
         pltpu.VMEM((group * bq, 128), jnp.float32),
         pltpu.VMEM((group * bq, d), jnp.float32),
     ]
+    seg_in = (qseg, kvseg) if params.segmented else ()
     if params.causal:
         # Compact grid: visit exactly the causal/window cells.
         ci, cj = _causal_cells_qmajor(params, ni, nj, bq, bkv)
@@ -346,6 +371,14 @@ def _fwd(params: _Params, q, k, v):
         kernel = functools.partial(
             _fwd_kernel, params=params, nj=nj, kv_padded=kv_padded,
             ncells=ncells,
+        )
+        seg_specs = (
+            [
+                pl.BlockSpec((1, 1, bq), lambda b, c, it, jt: (b, 0, it[c])),
+                pl.BlockSpec((1, 1, bkv), lambda b, c, it, jt: (b, 0, jt[c])),
+            ]
+            if params.segmented
+            else []
         )
         return pl.pallas_call(
             kernel,
@@ -358,6 +391,7 @@ def _fwd(params: _Params, q, k, v):
                     ),
                     pl.BlockSpec((1, bkv, d), lambda b, c, it, jt: (b, jt[c], 0)),
                     pl.BlockSpec((1, bkv, d), lambda b, c, it, jt: (b, jt[c], 0)),
+                    *seg_specs,
                 ],
                 out_specs=[
                     pl.BlockSpec(
@@ -374,10 +408,18 @@ def _fwd(params: _Params, q, k, v):
                 dimension_semantics=("parallel", "arbitrary"),
             ),
             interpret=use_interpret(),
-        )(jnp.asarray(ci), jnp.asarray(cj), q, k, v)
+        )(jnp.asarray(ci), jnp.asarray(cj), q, k, v, *seg_in)
 
     kernel = functools.partial(
         _fwd_kernel, params=params, nj=nj, kv_padded=kv_padded
+    )
+    seg_specs = (
+        [
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, j)),
+        ]
+        if params.segmented
+        else []
     )
     return pl.pallas_call(
         kernel,
@@ -386,6 +428,7 @@ def _fwd(params: _Params, q, k, v):
             pl.BlockSpec((1, group, bq, d), lambda b, i, j: (b, 0, i, 0)),
             pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),
+            *seg_specs,
         ],
         out_specs=[
             pl.BlockSpec((1, group, bq, d), lambda b, i, j: (b, 0, i, 0)),
@@ -397,7 +440,7 @@ def _fwd(params: _Params, q, k, v):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=use_interpret(),
-    )(q, k, v)
+    )(q, k, v, *seg_in)
 
 
 # ---------------------------------------------------------------------------
@@ -406,7 +449,8 @@ def _fwd(params: _Params, q, k, v):
 
 
 def _recompute_p(
-    params, q_ref, k_ref, lse_ref, i, j, rows, d, bq, bkv, causal_mask, kv_mask
+    params, q_ref, k_ref, lse_ref, i, j, rows, d, bq, bkv, causal_mask, kv_mask,
+    qseg_ref=None, kvseg_ref=None,
 ):
     """attn = exp(q @ k^T * scale - lse), masked.  (cf. …cpp:457-459)"""
     q = q_ref[0].reshape(rows, d)
@@ -420,6 +464,9 @@ def _recompute_p(
     )
     if mask is not None:
         s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+    if params.segmented:
+        seg = _seg_mask(qseg_ref, kvseg_ref, 0, bkv, rows // bq, bq)
+        s = s + jnp.where(seg, 0.0, DEFAULT_MASK_VALUE)
     lse = lse_ref[0].reshape(rows, 1)
     return jnp.exp(s - lse), q, k
 
@@ -435,15 +482,18 @@ def _dkv_kernel(
     """dK/dV: kv block pinned, iterate q blocks — the reference's kv-outer /
     q-inner loop order (cpp/flash_attention_qkv_packed.cpp:410-497).
     Compact mode walks only the admitted cells, kv-major."""
+    nseg = 2 if params.segmented else 0
     if ncells is None:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+        q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref = refs[:6]
+        qseg_ref, kvseg_ref = refs[6:8] if nseg else (None, None)
+        dk_ref, dv_ref, dk_scr, dv_scr = refs[6 + nseg:]
         j, i = pl.program_id(1), pl.program_id(2)
         init_cond = i == 0
         store_cond = i == ni - 1
     else:
-        (j_tab, i_tab, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+        (j_tab, i_tab, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref) = refs[:8]
+        qseg_ref, kvseg_ref = refs[8:10] if nseg else (None, None)
+        dk_ref, dv_ref, dk_scr, dv_scr = refs[8 + nseg:]
         c = pl.program_id(1)
         j, i = j_tab[c], i_tab[c]
         init_cond = jnp.logical_or(c == 0, j_tab[jnp.maximum(c - 1, 0)] != j)
@@ -462,7 +512,7 @@ def _dkv_kernel(
     def body(causal_mask: bool, kv_mask: bool):
         p, q, _ = _recompute_p(
             params, q_ref, k_ref, lse_ref, i, j, rows, d, bq, bkv,
-            causal_mask, kv_mask,
+            causal_mask, kv_mask, qseg_ref, kvseg_ref,
         )
         do = do_ref[0].reshape(rows, d)
         # dv += attn^T @ dO  (cf. …cpp:462)
@@ -507,14 +557,18 @@ def _dq_kernel(
 ):
     """dQ: q block pinned, iterate kv blocks (cf. …cpp:470 accumulation).
     Compact mode walks only the admitted cells, q-major."""
+    nseg = 2 if params.segmented else 0
     if ncells is None:
-        q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr = refs
+        q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref = refs[:6]
+        qseg_ref, kvseg_ref = refs[6:8] if nseg else (None, None)
+        dq_ref, dq_scr = refs[6 + nseg:]
         i, j = pl.program_id(1), pl.program_id(2)
         init_cond = j == 0
         store_cond = j == nj - 1
     else:
-        (i_tab, j_tab, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-         dq_ref, dq_scr) = refs
+        (i_tab, j_tab, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref) = refs[:8]
+        qseg_ref, kvseg_ref = refs[8:10] if nseg else (None, None)
+        dq_ref, dq_scr = refs[8 + nseg:]
         c = pl.program_id(1)
         i, j = i_tab[c], j_tab[c]
         init_cond = jnp.logical_or(c == 0, i_tab[jnp.maximum(c - 1, 0)] != i)
@@ -532,7 +586,7 @@ def _dq_kernel(
     def body(causal_mask: bool, kv_mask: bool):
         p, _, k = _recompute_p(
             params, q_ref, k_ref, lse_ref, i, j, rows, d, bq, bkv,
-            causal_mask, kv_mask,
+            causal_mask, kv_mask, qseg_ref, kvseg_ref,
         )
         do = do_ref[0].reshape(rows, d)
         dp = jax.lax.dot_general(
@@ -577,12 +631,13 @@ def _causal_cells_kvmajor(params: _Params, ni: int, nj: int, bq: int, bkv: int):
     return np.asarray(cj, np.int32), np.asarray(ci, np.int32)
 
 
-def _bwd_dkv(params: _Params, q, k, v, do, lse, di):
+def _bwd_dkv(params: _Params, q, k, v, do, lse, di, qseg=None, kvseg=None):
     bh, group, lq, d = q.shape
     lk = k.shape[1]
     bq, bkv = params.blocks.bwd_dkv()
     ni, nj = lq // bq, lk // bkv
     kv_padded = lk != params.kv_len
+    seg_in = (qseg, kvseg) if params.segmented else ()
     out_shape = [
         jax.ShapeDtypeStruct(k.shape, k.dtype),
         jax.ShapeDtypeStruct(v.shape, v.dtype),
@@ -614,6 +669,14 @@ def _bwd_dkv(params: _Params, q, k, v, do, lse, di):
                     ),
                     pl.BlockSpec((1, group, bq), lambda b, c, jt, it: (b, 0, it[c])),
                     pl.BlockSpec((1, group, bq), lambda b, c, jt, it: (b, 0, it[c])),
+                    *(
+                        [
+                            pl.BlockSpec((1, 1, bq), lambda b, c, jt, it: (b, 0, it[c])),
+                            pl.BlockSpec((1, 1, bkv), lambda b, c, jt, it: (b, 0, jt[c])),
+                        ]
+                        if params.segmented
+                        else []
+                    ),
                 ],
                 out_specs=[
                     pl.BlockSpec((1, bkv, d), lambda b, c, jt, it: (b, jt[c], 0)),
@@ -626,7 +689,7 @@ def _bwd_dkv(params: _Params, q, k, v, do, lse, di):
                 dimension_semantics=("parallel", "arbitrary"),
             ),
             interpret=use_interpret(),
-        )(jnp.asarray(cj), jnp.asarray(ci), q, k, v, do, lse, di)
+        )(jnp.asarray(cj), jnp.asarray(ci), q, k, v, do, lse, di, *seg_in)
 
     kernel = functools.partial(
         _dkv_kernel, params=params, ni=ni, nj=nj, kv_padded=kv_padded
@@ -641,6 +704,14 @@ def _bwd_dkv(params: _Params, q, k, v, do, lse, di):
             pl.BlockSpec((1, group, bq, d), lambda b, j, i: (b, 0, i, 0)),
             pl.BlockSpec((1, group, bq), lambda b, j, i: (b, 0, i)),
             pl.BlockSpec((1, group, bq), lambda b, j, i: (b, 0, i)),
+            *(
+                [
+                    pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),
+                    pl.BlockSpec((1, 1, bkv), lambda b, j, i: (b, 0, j)),
+                ]
+                if params.segmented
+                else []
+            ),
         ],
         out_specs=[
             pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),
@@ -652,15 +723,16 @@ def _bwd_dkv(params: _Params, q, k, v, do, lse, di):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=use_interpret(),
-    )(q, k, v, do, lse, di)
+    )(q, k, v, do, lse, di, *seg_in)
 
 
-def _bwd_dq(params: _Params, q, k, v, do, lse, di):
+def _bwd_dq(params: _Params, q, k, v, do, lse, di, qseg=None, kvseg=None):
     bh, group, lq, d = q.shape
     lk = k.shape[1]
     bq, bkv = params.blocks.bwd_dq()
     ni, nj = lq // bq, lk // bkv
     kv_padded = lk != params.kv_len
+    seg_in = (qseg, kvseg) if params.segmented else ()
     if params.causal:
         ci, cj = _causal_cells_qmajor(params, ni, nj, bq, bkv)
         ncells = len(ci)
@@ -684,6 +756,14 @@ def _bwd_dq(params: _Params, q, k, v, do, lse, di):
                     ),
                     pl.BlockSpec((1, group, bq), lambda b, c, it, jt: (b, 0, it[c])),
                     pl.BlockSpec((1, group, bq), lambda b, c, it, jt: (b, 0, it[c])),
+                    *(
+                        [
+                            pl.BlockSpec((1, 1, bq), lambda b, c, it, jt: (b, 0, it[c])),
+                            pl.BlockSpec((1, 1, bkv), lambda b, c, it, jt: (b, 0, jt[c])),
+                        ]
+                        if params.segmented
+                        else []
+                    ),
                 ],
                 out_specs=[
                     pl.BlockSpec(
@@ -697,7 +777,7 @@ def _bwd_dq(params: _Params, q, k, v, do, lse, di):
                 dimension_semantics=("parallel", "arbitrary"),
             ),
             interpret=use_interpret(),
-        )(jnp.asarray(ci), jnp.asarray(cj), q, k, v, do, lse, di)[0]
+        )(jnp.asarray(ci), jnp.asarray(cj), q, k, v, do, lse, di, *seg_in)[0]
 
     kernel = functools.partial(
         _dq_kernel, params=params, nj=nj, kv_padded=kv_padded
@@ -712,6 +792,14 @@ def _bwd_dq(params: _Params, q, k, v, do, lse, di):
             pl.BlockSpec((1, group, bq, d), lambda b, i, j: (b, 0, i, 0)),
             pl.BlockSpec((1, group, bq), lambda b, i, j: (b, 0, i)),
             pl.BlockSpec((1, group, bq), lambda b, i, j: (b, 0, i)),
+            *(
+                [
+                    pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
+                    pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, j)),
+                ]
+                if params.segmented
+                else []
+            ),
         ],
         out_specs=[
             pl.BlockSpec((1, group, bq, d), lambda b, i, j: (b, 0, i, 0)),
@@ -722,7 +810,7 @@ def _bwd_dq(params: _Params, q, k, v, do, lse, di):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=use_interpret(),
-    )(q, k, v, do, lse, di)[0]
+    )(q, k, v, do, lse, di, *seg_in)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -784,6 +872,33 @@ def _flash_lse_bwd_rule(params: _Params, res, cts):
 _flash_lse.defvjp(_flash_lse_fwd_rule, _flash_lse_bwd_rule)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_seg(params: _Params, q, k, v, qseg, kvseg):
+    o, _ = _fwd(params, q, k, v, qseg, kvseg)
+    return o
+
+
+def _flash_seg_fwd_rule(params: _Params, q, k, v, qseg, kvseg):
+    o, lse = _fwd(params, q, k, v, qseg, kvseg)
+    return o, (q, k, v, o, lse, qseg, kvseg)
+
+
+def _flash_seg_bwd_rule(params: _Params, res, do):
+    import numpy as np
+
+    q, k, v, o, lse, qseg, kvseg = res
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    dk, dv = _bwd_dkv(params, q, k, v, do, lse, di, qseg, kvseg)
+    dq = _bwd_dq(params, q, k, v, do, lse, di, qseg, kvseg)
+    # integer segment ids take float0 cotangents
+    zq = np.zeros(qseg.shape, jax.dtypes.float0)
+    zkv = np.zeros(kvseg.shape, jax.dtypes.float0)
+    return dq, dk, dv, zq, zkv
+
+
+_flash_seg.defvjp(_flash_seg_fwd_rule, _flash_seg_bwd_rule)
+
+
 # ---------------------------------------------------------------------------
 # Public entry point
 # ---------------------------------------------------------------------------
@@ -797,6 +912,7 @@ def flash_attention(
     causal: bool = True,
     sm_scale: float | None = None,
     window: int | None = None,
+    segment_ids=None,
     block_sizes: BlockSizes | None = None,
     num_chunks_q: int | None = None,
     num_chunks_kv: int | None = None,
@@ -814,6 +930,10 @@ def flash_attention(
       window: sliding-window (local) attention — attend only to the last
         `window` positions including self (Mistral-style).  Requires causal.
         Out-of-window blocks are skipped entirely, compute AND DMA.
+      segment_ids: packed-sequence masking — an int array [batch, seq]
+        (self-attention) or a (q_ids [batch, q_len], kv_ids [batch, kv_len])
+        pair; tokens attend only within their segment (multi-document
+        packing, no cross-document attention).
       block_sizes: explicit tiling; overrides num_chunks_*.
       num_chunks_q / num_chunks_kv: reference-style chunk counts mapped to
         block sizes (cpp/flash_attention_qkv_packed.cpp:560-607 semantics).
@@ -841,13 +961,28 @@ def flash_attention(
         if window >= lk:
             window = None  # full causal — no window constraint binds
 
+    if segment_ids is not None:
+        if isinstance(segment_ids, (tuple, list)):
+            q_ids, kv_ids = segment_ids
+        else:
+            q_ids = kv_ids = segment_ids
+        q_ids = jnp.asarray(q_ids, jnp.int32)
+        kv_ids = jnp.asarray(kv_ids, jnp.int32)
+        if q_ids.shape != (b, lq) or kv_ids.shape != (b, lk):
+            raise ValueError(
+                f"segment_ids shapes {q_ids.shape}/{kv_ids.shape} must be "
+                f"({b}, {lq}) / ({b}, {lk})"
+            )
+
     # Tiny/short shapes: dense path (the reference's CPU-fallback role,
     # _impl/flash_attention_qkv_packed.py:47-53).
     if lq < MIN_BLOCK or lk < MIN_BLOCK:
         k_r = jnp.repeat(k, group, axis=1) if group > 1 else k
         v_r = jnp.repeat(v, group, axis=1) if group > 1 else v
+        segs = (q_ids, kv_ids) if segment_ids is not None else None
         return vanilla_attention(
-            q, k_r, v_r, causal=causal, sm_scale=sm_scale, window=window
+            q, k_r, v_r, causal=causal, sm_scale=sm_scale, window=window,
+            segment_ids=segs,
         )
 
     if block_sizes is None:
@@ -876,6 +1011,7 @@ def flash_attention(
         kv_len=lk,
         blocks=block_sizes,
         window=window,
+        segmented=segment_ids is not None,
     )
 
     # Pad to block/lane multiples (differentiable; grads of pads are slices).
@@ -895,7 +1031,20 @@ def flash_attention(
     q4 = q.reshape(b * hkv, group, lqp, dp)
     k3 = k.reshape(b * hkv, lkp, dp)
     v3 = v.reshape(b * hkv, lkp, dp)
-    out = _flash(params, q4, k3, v3)
+    if segment_ids is not None:
+        # Pad q ids with -1 and kv ids with -2: padded positions never match
+        # anything, so padding stays inert under the segment mask.
+        q_ids = jnp.pad(q_ids, ((0, 0), (0, lqp - lq)), constant_values=-1)
+        kv_ids = jnp.pad(kv_ids, ((0, 0), (0, lkp - lk)), constant_values=-2)
+        qseg = jnp.broadcast_to(q_ids[:, None, :], (b, hkv, lqp)).reshape(
+            b * hkv, 1, lqp
+        )
+        kvseg = jnp.broadcast_to(kv_ids[:, None, :], (b, hkv, lkp)).reshape(
+            b * hkv, 1, lkp
+        )
+        out = _flash_seg(params, q4, k3, v3, qseg, kvseg)
+    else:
+        out = _flash(params, q4, k3, v3)
     out = out.reshape(b, hq, lqp, dp)
     if lqp != lq or dp != d:
         out = out[:, :, :lq, :d]

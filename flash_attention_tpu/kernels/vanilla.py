@@ -49,10 +49,13 @@ def vanilla_attention_with_lse(
     causal: bool = True,
     sm_scale: float = 1.0,
     window: int | None = None,
+    segment_ids=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Dense attention returning (out, logsumexp).
 
     Shapes: q [..., q_len, d], k/v [..., kv_len, d] with matching batch dims.
+    segment_ids: optional (q_ids [B, q_len], kv_ids [B, kv_len]) for packed
+    sequences (assumes leading batch dim B and a head dim).
     Softmax statistics in fp32; output cast back to q.dtype.
     """
     q_len, kv_len = q.shape[-2], k.shape[-2]
@@ -63,6 +66,10 @@ def vanilla_attention_with_lse(
     if causal:
         mask = _causal_mask(q_len, kv_len, window)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    if segment_ids is not None:
+        q_ids, kv_ids = segment_ids
+        seg = q_ids[:, None, :, None] == kv_ids[:, None, None, :]
+        s = jnp.where(seg, s, DEFAULT_MASK_VALUE)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -84,9 +91,11 @@ def vanilla_attention(
     causal: bool = True,
     sm_scale: float = 1.0,
     window: int | None = None,
+    segment_ids=None,
 ) -> jax.Array:
     """Dense attention (differentiable via plain XLA autodiff)."""
     out, _ = vanilla_attention_with_lse(
-        q, k, v, causal=causal, sm_scale=sm_scale, window=window
+        q, k, v, causal=causal, sm_scale=sm_scale, window=window,
+        segment_ids=segment_ids,
     )
     return out

@@ -234,3 +234,72 @@ def test_window_validation():
     # window >= seq is just full causal
     out = flash_attention(q, q, q, window=10_000)
     assert out.shape == q.shape
+
+
+def _packed_segs(key, b, l, n_docs):
+    """Random packed-document segment ids: n_docs contiguous runs per row."""
+    lengths = jax.random.dirichlet(key, jnp.ones(n_docs), (b,))
+    bounds = jnp.cumsum(lengths, axis=-1) * l
+    pos = jnp.arange(l)[None, :]
+    return jnp.sum(pos[:, :, None] >= bounds[:, None, :], axis=-1).astype(jnp.int32)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_segment_ids_forward(causal):
+    """Packed-sequence masking vs dense reference."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(15), 2, 2, 512, 128, jnp.float32)
+    segs = _packed_segs(jax.random.PRNGKey(16), 2, 512, 3)
+    out = flash_attention(q, k, v, causal=causal, segment_ids=segs)
+    ref = vanilla_attention(
+        q, k, v, causal=causal, sm_scale=128**-0.5, segment_ids=(segs, segs)
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_segment_isolation():
+    """Poisoning one document's K/V must not leak into another document."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(17), 1, 2, 256, 128, jnp.float32)
+    segs = jnp.concatenate(
+        [jnp.zeros((1, 128), jnp.int32), jnp.ones((1, 128), jnp.int32)], axis=1
+    )
+    # Large-value poison (NaN would propagate through 0*NaN in the masked
+    # matmul — true of any fused flash implementation)
+    k_poison = k.at[:, :, 128:].set(1e4)
+    v_poison = v.at[:, :, 128:].set(1e6)
+    out = flash_attention(q, k_poison, v_poison, segment_ids=segs)
+    ref = flash_attention(q[:, :, :128], k[:, :, :128], v[:, :, :128])
+    np.testing.assert_allclose(out[:, :, :128], ref, atol=1e-4, rtol=1e-5)
+
+
+def test_segment_ids_backward():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(18), 1, 2, 384, 64, jnp.float32)
+    segs = _packed_segs(jax.random.PRNGKey(19), 1, 384, 2)
+    g = jax.random.normal(jax.random.PRNGKey(20), q.shape, jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, segment_ids=segs) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            vanilla_attention(
+                q, k, v, causal=True, sm_scale=64**-0.5, segment_ids=(segs, segs)
+            ) * g
+        )
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4, err_msg=f"d{name}")
+
+
+def test_segment_ids_gqa_window():
+    """Segments compose with GQA and sliding window."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(21), 1, 4, 256, 64, jnp.float32, hkv=2)
+    segs = _packed_segs(jax.random.PRNGKey(22), 1, 256, 2)
+    out = flash_attention(q, k, v, window=100, segment_ids=segs)
+    kr, vr = jnp.repeat(k, 2, 1), jnp.repeat(v, 2, 1)
+    ref = vanilla_attention(
+        q, kr, vr, causal=True, sm_scale=64**-0.5, window=100,
+        segment_ids=(segs, segs),
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
