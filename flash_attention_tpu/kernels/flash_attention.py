@@ -991,7 +991,7 @@ def flash_attention(
                 lq, lk, num_chunks_q or 1, num_chunks_kv or 1
             )
         else:
-            block_sizes = default_blocks(lq, lk, d)
+            block_sizes = default_blocks(lq, lk, d, group)
     # Clamp blocks to (128-aligned) sequence lengths.
     block_sizes = dataclasses.replace(
         block_sizes,
@@ -1074,7 +1074,7 @@ def flash_attention_with_lse(
     if sm_scale is None:
         sm_scale = float(d) ** -0.5
     if block_sizes is None:
-        block_sizes = default_blocks(lq, k.shape[2], d)
+        block_sizes = default_blocks(lq, k.shape[2], d, group)
     lk = k.shape[2]
     block_sizes = dataclasses.replace(
         block_sizes,

@@ -191,7 +191,7 @@ def flash_attention_kv_quant(
         return vanilla_attention(q, k_d, v_d, causal=causal, sm_scale=sm_scale)
 
     if block_sizes is None:
-        block_sizes = default_blocks(lq, lk, d)
+        block_sizes = default_blocks(lq, lk, d, group)
     block_sizes = dataclasses.replace(
         block_sizes,
         block_q=min(block_sizes.block_q, _round_up(lq, MIN_BLOCK)),
