@@ -448,6 +448,19 @@ def _fwd(params: _Params, q, k, v, qseg=None, kvseg=None):
 # ---------------------------------------------------------------------------
 
 
+def _rowcol(ref, group: int, bq: int):
+    """Load a (1, group, bq) ref as a (group*bq, 1) column.
+
+    Mosaic rejects the direct lane-collapsing reshape (group, bq) ->
+    (group*bq, 1) when group > 1 ("infer-vector-layout: unsupported shape
+    cast"); per-group (1, bq) -> (bq, 1) casts + a sublane concat compile.
+    """
+    if group == 1:
+        return ref[0].reshape(bq, 1)
+    parts = [ref[0, g : g + 1, :].reshape(bq, 1) for g in range(group)]
+    return jnp.concatenate(parts, axis=0)
+
+
 def _recompute_p(
     params, q_ref, k_ref, lse_ref, i, j, rows, d, bq, bkv, causal_mask, kv_mask,
     qseg_ref=None, kvseg_ref=None,
@@ -467,7 +480,7 @@ def _recompute_p(
     if params.segmented:
         seg = _seg_mask(qseg_ref, kvseg_ref, 0, bkv, rows // bq, bq)
         s = s + jnp.where(seg, 0.0, DEFAULT_MASK_VALUE)
-    lse = lse_ref[0].reshape(rows, 1)
+    lse = _rowcol(lse_ref, rows // bq, bq)
     return jnp.exp(s - lse), q, k
 
 
@@ -527,7 +540,7 @@ def _dkv_kernel(
             do, v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        di = di_ref[0].reshape(rows, 1)
+        di = _rowcol(di_ref, rows // bq, bq)
         ds = p * (dp - di) * params.sm_scale
         # dk += dattn^T @ q  (cf. …cpp:472)
         dk_scr[...] += jax.lax.dot_general(
@@ -593,7 +606,7 @@ def _dq_kernel(
             do, v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        di = di_ref[0].reshape(rows, 1)
+        di = _rowcol(di_ref, rows // bq, bq)
         ds = p * (dp - di) * params.sm_scale
         # dq += dattn @ k  (cf. …cpp:470)
         dq_scr[...] += jax.lax.dot(
