@@ -67,6 +67,46 @@ def _clamp_pow2(x: int, lo: int, hi: int) -> int:
     return max(lo, min(hi, x))
 
 
+def _divisor_block(padded_len: int, desired: int) -> int:
+    """Largest multiple of MIN_BLOCK that divides `padded_len` and is
+    <= `desired`.  `padded_len` is always a multiple of MIN_BLOCK, so
+    MIN_BLOCK itself is a valid floor."""
+    best = MIN_BLOCK
+    b = MIN_BLOCK
+    cap = min(desired, padded_len)
+    while b <= cap:
+        if padded_len % b == 0:
+            best = b
+        b += MIN_BLOCK
+    return best
+
+
+def resolve_bwd_blocks(
+    blocks: BlockSizes, lq_padded: int, lk_padded: int
+) -> BlockSizes:
+    """Pin the backward block sizes to exact divisors of the padded lengths.
+
+    The forward grid uses ni = lq_padded // block_q with block_q dividing
+    lq_padded by construction; the backward kernels do the same floor
+    division with their own (possibly 512-capped) blocks.  If a backward
+    block does not divide the padded length, the floor silently drops the
+    tail rows/columns from dq/dk/dv — or, when padding is driven by the
+    larger backward block, the forward never writes the tail o/lse rows and
+    the backward reads uninitialized lse (NaN gradients).  Resolving every
+    backward block to a divisor of the forward-padded length removes both
+    failure modes without extra padding.
+    """
+    q_dkv, kv_dkv = blocks.bwd_dkv()
+    q_dq, kv_dq = blocks.bwd_dq()
+    return dataclasses.replace(
+        blocks,
+        block_q_dkv=_divisor_block(lq_padded, q_dkv),
+        block_kv_dkv=_divisor_block(lk_padded, kv_dkv),
+        block_q_dq=_divisor_block(lq_padded, q_dq),
+        block_kv_dq=_divisor_block(lk_padded, kv_dq),
+    )
+
+
 def auto_num_chunks(seq_len: int, head_dim: int) -> tuple[int, int]:
     """Reference-parity auto-chunking heuristic.
 

@@ -44,7 +44,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import use_interpret
-from .block_sizes import MIN_BLOCK, BlockSizes, blocks_from_chunks, default_blocks
+from .block_sizes import (
+    MIN_BLOCK,
+    BlockSizes,
+    blocks_from_chunks,
+    default_blocks,
+    resolve_bwd_blocks,
+)
 from .vanilla import DEFAULT_MASK_VALUE, vanilla_attention
 
 __all__ = ["flash_attention", "flash_attention_with_lse", "BlockSizes"]
@@ -69,6 +75,18 @@ class _Params:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _mm_precision(dtype):
+    """MXU precision for kernel matmuls, by input dtype.
+
+    TPU fp32 matmuls default to a truncated bf16-pass mode; measured on v5e
+    that leaves ~2e-2 abs error in fp32 gradients — far off the reference's
+    fp32 parity tiers (1e-5 fwd / 1e-4 bwd, tests/cpp:245-287).  HIGHEST
+    restores full fp32 multiply passes.  bf16 inputs are single-pass exact
+    already, so they keep the fast default.
+    """
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
 
 def _mask_for_block(
@@ -139,8 +157,12 @@ def _dispatch_block(params: _Params, i, j, bq, bkv, nj, kv_padded, body):
         run = _run_cond(params, i, j, bq, bkv)
         visible = _fully_visible(params, i, j, bq, bkv)
         if kv_padded:
+            # Padding can span several tiles when this kernel's block is
+            # smaller than the one that drove the padding, so mask every
+            # tile that touches or crosses the kv boundary — not just the
+            # last one.
             needs_mask = jnp.logical_or(
-                jnp.logical_not(visible), j == nj - 1
+                jnp.logical_not(visible), (j + 1) * bkv > params.kv_len
             )
         else:
             needs_mask = jnp.logical_not(visible)
@@ -154,12 +176,13 @@ def _dispatch_block(params: _Params, i, j, bq, bkv, nj, kv_padded, body):
             body(False, False)
 
     elif kv_padded:
+        crosses_pad = (j + 1) * bkv > params.kv_len
 
-        @pl.when(j == nj - 1)
+        @pl.when(crosses_pad)
         def _():
             body(False, True)
 
-        @pl.when(j != nj - 1)
+        @pl.when(jnp.logical_not(crosses_pad))
         def _():
             body(False, False)
 
@@ -208,7 +231,11 @@ def _compact_dispatch(params, i, j, bq, bkv, nj, kv_padded, body):
     mask decision remains (diagonal/window/pad-crossing tiles pay it)."""
     visible = _fully_visible(params, i, j, bq, bkv)
     if kv_padded:
-        needs_mask = jnp.logical_or(jnp.logical_not(visible), j == nj - 1)
+        # Mask every tile touching the kv boundary (padding can span
+        # multiple tiles of a smaller-blocked kernel; see _dispatch_block).
+        needs_mask = jnp.logical_or(
+            jnp.logical_not(visible), (j + 1) * bkv > params.kv_len
+        )
     else:
         needs_mask = jnp.logical_not(visible)
 
@@ -280,6 +307,7 @@ def _fwd_kernel(
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_mm_precision(q.dtype),
             )
             s = s * params.sm_scale
             mask = _mask_for_block(
@@ -307,6 +335,7 @@ def _fwd_kernel(
             acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + jax.lax.dot(
                 p.astype(v_ref.dtype), v_ref[0, cols, :],
                 preferred_element_type=jnp.float32,
+                precision=_mm_precision(v_ref.dtype),
             )
 
     if ncells is None:
@@ -469,7 +498,9 @@ def _recompute_p(
     q = q_ref[0].reshape(rows, d)
     k = k_ref[0]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_mm_precision(q.dtype),
     )
     s = s * params.sm_scale
     mask = _mask_for_block(
@@ -534,11 +565,13 @@ def _dkv_kernel(
             do,
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mm_precision(do.dtype),
         )
         # dattn = (dO @ v^T - D) * attn  (cf. …cpp:465-467)
         dp = jax.lax.dot_general(
             do, v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mm_precision(do.dtype),
         )
         di = _rowcol(di_ref, rows // bq, bq)
         ds = p * (dp - di) * params.sm_scale
@@ -548,6 +581,7 @@ def _dkv_kernel(
             q,
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mm_precision(q.dtype),
         )
 
     if ncells is None:
@@ -605,12 +639,15 @@ def _dq_kernel(
         dp = jax.lax.dot_general(
             do, v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mm_precision(do.dtype),
         )
         di = _rowcol(di_ref, rows // bq, bq)
         ds = p * (dp - di) * params.sm_scale
         # dq += dattn @ k  (cf. …cpp:470)
         dq_scr[...] += jax.lax.dot(
-            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+            ds.astype(k.dtype), k,
+            preferred_element_type=jnp.float32,
+            precision=_mm_precision(k.dtype),
         )
 
     if ncells is None:
@@ -1017,6 +1054,15 @@ def flash_attention(
     ):
         block_sizes = dataclasses.replace(block_sizes, block_kv_inner=None)
 
+    # Pad to the forward block multiples (differentiable; grads of pads are
+    # slices), then pin every backward block to a divisor of the padded
+    # lengths so both the forward and backward grids cover all rows exactly
+    # (floor division in the grids would otherwise drop tails / leave o+lse
+    # rows unwritten and feed NaN lse into the backward).
+    lqp = _round_up(lq, block_sizes.block_q)
+    lkp = _round_up(lk, block_sizes.block_kv)
+    block_sizes = resolve_bwd_blocks(block_sizes, lqp, lkp)
+
     params = _Params(
         sm_scale=float(sm_scale),
         causal=causal,
@@ -1026,12 +1072,6 @@ def flash_attention(
         window=window,
         segmented=segment_ids is not None,
     )
-
-    # Pad to block/lane multiples (differentiable; grads of pads are slices).
-    bq_all = [block_sizes.block_q, *block_sizes.bwd_dkv()[:1], *block_sizes.bwd_dq()[:1]]
-    bkv_all = [block_sizes.block_kv, block_sizes.bwd_dkv()[1], block_sizes.bwd_dq()[1]]
-    lqp = max(_round_up(lq, bq) for bq in bq_all)
-    lkp = max(_round_up(lk, bkv) for bkv in bkv_all)
     # Blocks cover the full head dim, so any array-equal lane width is
     # legal on TPU; padding to 128 would double HBM traffic at D=64.
     dp = _round_up(d, 8)
@@ -1094,6 +1134,12 @@ def flash_attention_with_lse(
         block_q=min(block_sizes.block_q, _round_up(lq, MIN_BLOCK)),
         block_kv=min(block_sizes.block_kv, _round_up(lk, MIN_BLOCK)),
     )
+    lqp = _round_up(lq, block_sizes.block_q)
+    lkp = _round_up(lk, block_sizes.block_kv)
+    # Backward blocks must divide the padded lengths (see flash_attention):
+    # this entry point feeds ring-attention training, where a silent tail
+    # drop corrupts dk/dv across every shard.
+    block_sizes = resolve_bwd_blocks(block_sizes, lqp, lkp)
     params = _Params(
         sm_scale=float(sm_scale),
         causal=causal,
@@ -1101,8 +1147,6 @@ def flash_attention_with_lse(
         kv_len=lk,
         blocks=block_sizes,
     )
-    lqp = _round_up(lq, block_sizes.block_q)
-    lkp = _round_up(lk, block_sizes.block_kv)
     # Blocks cover the full head dim, so any array-equal lane width is
     # legal on TPU; padding to 128 would double HBM traffic at D=64.
     dp = _round_up(d, 8)

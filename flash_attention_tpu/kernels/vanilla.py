@@ -59,8 +59,15 @@ def vanilla_attention_with_lse(
     Softmax statistics in fp32; output cast back to q.dtype.
     """
     q_len, kv_len = q.shape[-2], k.shape[-2]
+    # fp32 inputs get full-precision MXU passes: the default truncated mode
+    # would leave ~2e-2 error on hardware, making this useless as a 1e-5
+    # ground truth (reference parity tiers, tests/cpp:245-287).
+    precision = (
+        jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    )
     s = jnp.einsum(
-        "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32
+        "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32,
+        precision=precision,
     )
     s = s * sm_scale
     if causal:
@@ -79,6 +86,7 @@ def vanilla_attention_with_lse(
         (p / l).astype(v.dtype),
         v,
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     return out.astype(q.dtype), lse
 

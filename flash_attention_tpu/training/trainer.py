@@ -151,16 +151,20 @@ class Trainer:
             self.params, self.opt_state, loss = self._train_step(
                 self.params, self.opt_state, idx, targets, sub
             )
-            if it % self.tcfg.log_interval == 0 or it == self.tcfg.max_iters - 1:
+            last = it == self.tcfg.max_iters - 1
+            do_log = it % self.tcfg.log_interval == 0 or last
+            do_eval = val_batches is not None and (
+                it % self.tcfg.eval_interval == 0 or last
+            )
+            # eval cadence is independent of log cadence: an eval hit always
+            # produces a record even off the log grid.
+            if do_log or do_eval:
                 rec = {
                     "iter": it,
                     "train_loss": float(loss),
                     "wall_s": time.time() - t0,
                 }
-                if val_batches is not None and (
-                    it % self.tcfg.eval_interval == 0
-                    or it == self.tcfg.max_iters - 1
-                ):
+                if do_eval:
                     vlosses = []
                     for _, (vi, vt) in zip(
                         range(self.tcfg.eval_iters), val_batches()

@@ -185,6 +185,92 @@ def test_backward_unaligned_seq():
         )
 
 
+@pytest.mark.parametrize("l", [640, 768, 896])
+def test_backward_default_blocks_mid_band(l):
+    """Regression: with default tiling, lengths in the 513-896 band used to
+    pad q to the (512-capped) backward block while the forward grid floored
+    ni = lq // block_q, leaving padded o/lse rows unwritten — the backward
+    then read uninitialized lse and produced NaN dk/dv (ADVICE r1, high)."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(21), 1, 2, l, 128, jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(22), q.shape, jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref(q, k, v) * g)
+
+    grads_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(grads_flash, grads_ref, "qkv"):
+        assert jnp.all(jnp.isfinite(gf)), f"d{name} has non-finite entries"
+        np.testing.assert_allclose(
+            gf, gr, atol=1e-4, rtol=1e-4, err_msg=f"d{name}"
+        )
+
+
+def test_with_lse_backward_unaligned():
+    """Regression: flash_attention_with_lse padded only to the forward
+    blocks while its backward used 512-capped blocks with floor division,
+    silently dropping tail rows from dq/dk/dv at e.g. L=768 — corrupting
+    ring-attention training (ADVICE r1, high)."""
+    l = 768
+    q, k, v = _rand_qkv(jax.random.PRNGKey(23), 1, 2, l, 128, jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(24), q.shape, jnp.float32)
+    gl = jax.random.normal(jax.random.PRNGKey(25), (1, 2, l), jnp.float32)
+
+    def loss_flash(q, k, v):
+        o, lse = flash_attention_with_lse(q, k, v)
+        return jnp.sum(o * g) + jnp.sum(lse * gl)
+
+    def loss_ref(q, k, v):
+        o, lse = vanilla_attention_with_lse(
+            q, k, v, causal=True, sm_scale=q.shape[-1] ** -0.5
+        )
+        return jnp.sum(o * g) + jnp.sum(lse * gl)
+
+    grads_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(grads_flash, grads_ref, "qkv"):
+        assert jnp.all(jnp.isfinite(gf)), f"d{name} has non-finite entries"
+        np.testing.assert_allclose(
+            gf, gr, atol=1e-4, rtol=1e-4, err_msg=f"d{name}"
+        )
+
+
+def test_backward_kv_pad_spans_multiple_tiles():
+    """Regression: kv padding spanning more than one backward kv tile (pad
+    driven by the 1024 forward block, backward tiled at 512) must mask every
+    boundary-crossing tile, not just the last (ADVICE r1, medium)."""
+    lq, lk = 256, 1100  # lkp = 2048, pad = 948 > one 512 bwd tile
+    q, _, _ = _rand_qkv(jax.random.PRNGKey(26), 1, 2, lq, 128, jnp.float32)
+    _, k, v = _rand_qkv(jax.random.PRNGKey(27), 1, 2, lk, 128, jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(28), q.shape, jnp.float32)
+
+    for causal in (False, True):
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, causal=causal) * g)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(_ref(q, k, v, causal=causal) * g)
+
+        out_err = jnp.max(
+            jnp.abs(
+                flash_attention(q, k, v, causal=causal)
+                - _ref(q, k, v, causal=causal)
+            )
+        )
+        assert out_err <= 1e-5, f"fwd causal={causal}: {out_err}"
+        grads_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for gf, gr, name in zip(grads_flash, grads_ref, "qkv"):
+            np.testing.assert_allclose(
+                gf, gr, atol=1e-4, rtol=1e-4,
+                err_msg=f"d{name} causal={causal}",
+            )
+
+
 @pytest.mark.parametrize("window", [64, 128, 300, 511])
 def test_sliding_window_forward(window):
     """Mistral-style local attention vs dense windowed reference."""
