@@ -25,6 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import use_interpret
 from ..kernels.block_sizes import MIN_BLOCK, BlockSizes, default_blocks
 from ..kernels.flash_attention import (
+    _LOG2E,
     _dispatch_block,
     _first_kv_block,
     _last_kv_block,
@@ -125,8 +126,9 @@ def _fwd_quant_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        # fold K dequant scale into the scores (per kv-token column)
-        s = s * (ks_ref[0].reshape(1, bkv) * params.sm_scale)
+        # fold K dequant scale into the scores (per kv-token column), in the
+        # exp2 domain (the log2e factor rides the same multiply for free)
+        s = s * (ks_ref[0].reshape(1, bkv) * (params.sm_scale * _LOG2E))
         mask = _mask_for_block(
             params, i, j * bkv, rows, bq, bkv,
             causal=causal_mask, kv_mask=kv_mask,
@@ -138,8 +140,8 @@ def _fwd_quant_kernel(
         l_prev = l_scr[...]
         m_curr = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, 0:1])
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next[:, 0:1])
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = m_next
         l_scr[...] = l_next
