@@ -94,12 +94,18 @@ def bench_attention_bwd(b=4, h=12, l=2048, d=128, dtype=jnp.bfloat16) -> dict:
         argnums=(0, 1, 2),
     )
 
+    depth = 8
+
     @jax.jit
     def step(q, k, v):
-        dq, dk, dv = grad_fn(q, k, v)
+        # Chain fwd+bwd steps (dq feeds the next q) so the ~1.5 ms
+        # per-dispatch tunnel latency is amortized like the fwd bench.
+        for _ in range(depth):
+            dq, dk, dv = grad_fn(q, k, v)
+            q = (q + 1e-3 * dq.astype(jnp.float32)).astype(q.dtype)
         return jnp.sum(dq.astype(jnp.float32)) + jnp.sum(dk.astype(jnp.float32))
 
-    dt = _timeit(step, q, k, v, iters=10)
+    dt = _timeit(step, q, k, v, iters=3) / depth
     # bwd ~ 2.5x fwd FLOPs (dkv + dq recompute), causal halves
     flops = 2.5 * 4 * b * h * l * l * d * 0.5
     return {
