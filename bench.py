@@ -115,6 +115,36 @@ def bench_attention_bwd(b=4, h=12, l=2048, d=128, dtype=jnp.bfloat16) -> dict:
     }
 
 
+def bench_attention_kv_quant(
+    b=1, h=8, l=32768, d=128, dtype=jnp.int8
+) -> dict:
+    """Quantized-KV prefill attention — the BASELINE.json flagship config
+    (quantized KV dequantized inside the tile loop at 32k context)."""
+    from flash_attention_tpu.quant import flash_attention_kv_quant, quantize_kv
+
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(ks[0], (b, h, l, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, h, l, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, h, l, d), jnp.bfloat16)
+    kv = quantize_kv(k, v, dtype=dtype)
+
+    @jax.jit
+    def chained(q, kv):
+        o = q
+        for _ in range(4):
+            o = flash_attention_kv_quant(o, kv, causal=True)
+        return jnp.sum(o.astype(jnp.float32))
+
+    dt = _timeit(chained, q, kv, iters=3) / 4
+    flops = 4 * b * h * l * l * d * 0.5
+    name = jnp.dtype(dtype).name
+    return {
+        "config": f"fwd {name}-KV b{b} h{h} L{l} D{d}",
+        "ms": dt * 1e3,
+        "tflops": flops / dt / 1e12,
+    }
+
+
 def bench_decode(
     slots=8, ctx=512, steps=64, kv_quant_dtype=None
 ) -> dict:
@@ -291,7 +321,11 @@ def main() -> None:
             headline,
             bench_attention_fwd(l=1024),
             bench_attention_fwd(l=16384, b=1),
+            bench_attention_fwd(l=32768, b=1, h=8),
             bench_attention_fwd(l=32768, b=1, h=8, d=64),
+            bench_attention_fwd(l=65536, b=1, h=8),
+            bench_attention_kv_quant(dtype=jnp.int8),
+            bench_attention_kv_quant(dtype=jnp.float8_e4m3fn),
             bench_attention_bwd(),
         ]
         for r in rows:

@@ -26,12 +26,13 @@ from ..config import use_interpret
 from ..kernels.block_sizes import MIN_BLOCK, BlockSizes, default_blocks
 from ..kernels.flash_attention import (
     _LOG2E,
+    _causal_cells_qmajor,
+    _compact_dispatch,
     _dispatch_block,
-    _first_kv_block,
-    _last_kv_block,
     _mask_for_block,
     _Params,
     _round_up,
+    _seg_mask,
 )
 from ..kernels.vanilla import DEFAULT_MASK_VALUE
 
@@ -95,26 +96,43 @@ def dequantize_kv(qkv: QuantizedKV, dtype=jnp.bfloat16):
 
 
 def _fwd_quant_kernel(
-    q_ref,
-    k_ref,
-    ks_ref,
-    v_ref,
-    vs_ref,
-    o_ref,
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    *refs,
     params: _Params,
     nj: int,
     kv_padded: bool,
+    ncells: int | None = None,
 ):
+    """Quantized-KV forward kernel — mirrors _fwd_kernel's two modes.
+
+    Rectangular mode (ncells=None): grid (BH, ni, nj), refs are
+    (q, k, ks, v, vs [, qseg, kvseg], o, m, l, acc).  Compact mode
+    (causal): grid (BH, ncells) over the admitted cells only, with leading
+    (i_tab, j_tab) scalar-prefetch refs — skipped cells cost neither grid
+    steps nor DMA, same as the main kernel.
+    """
+    nseg = 2 if params.segmented else 0
+    if ncells is None:
+        q_ref, k_ref, ks_ref, v_ref, vs_ref = refs[:5]
+        qseg_ref, kvseg_ref = refs[5:7] if nseg else (None, None)
+        o_ref, m_scr, l_scr, acc_scr = refs[5 + nseg:]
+        i, j = pl.program_id(1), pl.program_id(2)
+        init_cond = j == 0
+        store_cond = j == nj - 1
+    else:
+        i_tab, j_tab, q_ref, k_ref, ks_ref, v_ref, vs_ref = refs[:7]
+        qseg_ref, kvseg_ref = refs[7:9] if nseg else (None, None)
+        o_ref, m_scr, l_scr, acc_scr = refs[7 + nseg:]
+        c = pl.program_id(1)
+        i, j = i_tab[c], j_tab[c]
+        init_cond = jnp.logical_or(c == 0, i_tab[jnp.maximum(c - 1, 0)] != i)
+        store_cond = jnp.logical_or(
+            c == ncells - 1, i_tab[jnp.minimum(c + 1, ncells - 1)] != i
+        )
     bq, bkv = params.blocks.block_q, params.blocks.block_kv
     group, d = q_ref.shape[1], q_ref.shape[3]
     rows = group * bq
-    i, j = pl.program_id(1), pl.program_id(2)
 
-    @pl.when(j == 0)
+    @pl.when(init_cond)
     def _init():
         m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
         l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
@@ -135,6 +153,9 @@ def _fwd_quant_kernel(
         )
         if mask is not None:
             s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+        if params.segmented:
+            seg = _seg_mask(qseg_ref, kvseg_ref, 0, bkv, group, bq)
+            s = s + jnp.where(seg, 0.0, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -153,9 +174,12 @@ def _fwd_quant_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    _dispatch_block(params, i, j, bq, bkv, nj, kv_padded, body)
+    if ncells is None:
+        _dispatch_block(params, i, j, bq, bkv, nj, kv_padded, body)
+    else:
+        _compact_dispatch(params, i, j, bq, bkv, nj, kv_padded, body)
 
-    @pl.when(j == nj - 1)
+    @pl.when(store_cond)
     def _store():
         l = l_scr[:, 0:1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
@@ -170,18 +194,35 @@ def flash_attention_kv_quant(
     *,
     causal: bool = True,
     sm_scale: float | None = None,
+    window: int | None = None,
+    segment_ids=None,
     block_sizes: BlockSizes | None = None,
 ) -> jax.Array:
     """Flash attention over a quantized KV cache.
 
     q: [B, Hq, Lq, D] bf16/f32; kv: QuantizedKV with [B, Hkv, Lkv, D]
-    int8/fp8 payloads.  Forward-only.
+    int8/fp8 payloads.  Forward-only.  Supports the main kernel's feature
+    set: GQA, sliding window, packed-sequence segment ids, and the compact
+    causal cell grid (skipped blocks cost neither grid steps nor DMA).
     """
     b, hq, lq, d = q.shape
     _, hkv, lk, _ = kv.k.shape
     group = hq // hkv
     if sm_scale is None:
         sm_scale = float(d) ** -0.5
+    if window is not None:
+        if not causal:
+            raise ValueError("window (sliding-window) requires causal=True")
+        if window >= lk:
+            window = None
+    q_ids = kv_ids = None
+    if segment_ids is not None:
+        if isinstance(segment_ids, (tuple, list)):
+            q_ids, kv_ids = segment_ids
+        else:
+            q_ids = kv_ids = segment_ids
+        q_ids = jnp.asarray(q_ids, jnp.int32)
+        kv_ids = jnp.asarray(kv_ids, jnp.int32)
     if lq < MIN_BLOCK // 8 or lk < MIN_BLOCK:
         # dense fallback for tiny shapes
         from ..kernels.vanilla import vanilla_attention
@@ -190,7 +231,11 @@ def flash_attention_kv_quant(
         if group > 1:
             k_d = jnp.repeat(k_d, group, axis=1)
             v_d = jnp.repeat(v_d, group, axis=1)
-        return vanilla_attention(q, k_d, v_d, causal=causal, sm_scale=sm_scale)
+        segs = (q_ids, kv_ids) if segment_ids is not None else None
+        return vanilla_attention(
+            q, k_d, v_d, causal=causal, sm_scale=sm_scale, window=window,
+            segment_ids=segs,
+        )
 
     if block_sizes is None:
         block_sizes = default_blocks(lq, lk, d, group)
@@ -205,6 +250,8 @@ def flash_attention_kv_quant(
         q_len=lq,
         kv_len=lk,
         blocks=block_sizes,
+        window=window,
+        segmented=segment_ids is not None,
     )
     bq, bkv = block_sizes.block_q, block_sizes.block_kv
     lqp, lkp = _round_up(lq, bq), _round_up(lk, bkv)
@@ -230,46 +277,108 @@ def flash_attention_kv_quant(
     ni, nj = lqp // bq, lkp // bkv
     kv_padded = lkp != lk
 
-    kernel = functools.partial(
-        _fwd_quant_kernel, params=params, nj=nj, kv_padded=kv_padded
-    )
+    seg_in = ()
+    if segment_ids is not None:
+        q_ids = jnp.pad(q_ids, ((0, 0), (0, lqp - lq)), constant_values=-1)
+        kv_ids = jnp.pad(kv_ids, ((0, 0), (0, lkp - lk)), constant_values=-2)
+        qseg = jnp.broadcast_to(q_ids[:, None, :], (b, hkv, lqp)).reshape(
+            bh, 1, lqp
+        )
+        kvseg = jnp.broadcast_to(kv_ids[:, None, :], (b, hkv, lkp)).reshape(
+            bh, 1, lkp
+        )
+        seg_in = (qseg, kvseg)
+
+    scratch = [
+        pltpu.VMEM((group * bq, 128), jnp.float32),
+        pltpu.VMEM((group * bq, 128), jnp.float32),
+        pltpu.VMEM((group * bq, dp), jnp.float32),
+    ]
+    out_shape = jax.ShapeDtypeStruct((bh, group, lqp, dp), q.dtype)
     if params.causal:
-        # skipped above-diagonal cells re-reference the last needed block:
-        # unchanged index map => no DMA (same trick as the main kernel)
-        def jc(b, i, j):
-            return jnp.clip(
-                j,
-                _first_kv_block(params, nj, bq, bkv, i),
-                _last_kv_block(params, nj, bq, bkv, i),
-            )
-
+        # Compact grid: visit exactly the causal/window cells.
+        ci, cj = _causal_cells_qmajor(params, ni, nj, bq, bkv)
+        ncells = len(ci)
+        kernel = functools.partial(
+            _fwd_quant_kernel, params=params, nj=nj, kv_padded=kv_padded,
+            ncells=ncells,
+        )
+        seg_specs = (
+            [
+                pl.BlockSpec((1, 1, bq), lambda b, c, it, jt: (b, 0, it[c])),
+                pl.BlockSpec((1, 1, bkv), lambda b, c, it, jt: (b, 0, jt[c])),
+            ]
+            if params.segmented
+            else []
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(bh, ncells),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, group, bq, dp),
+                        lambda b, c, it, jt: (b, 0, it[c], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, bkv, dp), lambda b, c, it, jt: (b, jt[c], 0)
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, bkv), lambda b, c, it, jt: (b, 0, jt[c])
+                    ),
+                    pl.BlockSpec(
+                        (1, bkv, dp), lambda b, c, it, jt: (b, jt[c], 0)
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, bkv), lambda b, c, it, jt: (b, 0, jt[c])
+                    ),
+                    *seg_specs,
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, group, bq, dp), lambda b, c, it, jt: (b, 0, it[c], 0)
+                ),
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=use_interpret(),
+        )(jnp.asarray(ci), jnp.asarray(cj), q4, k3, ks2, v3, vs2, *seg_in)
     else:
-
-        def jc(b, i, j):
-            return j
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(bh, ni, nj),
-        in_specs=[
-            pl.BlockSpec((1, group, bq, dp), lambda b, i, j: (b, 0, i, 0)),
-            pl.BlockSpec((1, bkv, dp), lambda b, i, j: (b, jc(b, i, j), 0)),
-            pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, jc(b, i, j))),
-            pl.BlockSpec((1, bkv, dp), lambda b, i, j: (b, jc(b, i, j), 0)),
-            pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, jc(b, i, j))),
-        ],
-        out_specs=pl.BlockSpec((1, group, bq, dp), lambda b, i, j: (b, 0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, group, lqp, dp), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((group * bq, 128), jnp.float32),
-            pltpu.VMEM((group * bq, 128), jnp.float32),
-            pltpu.VMEM((group * bq, dp), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=use_interpret(),
-    )(q4, k3, ks2, v3, vs2)
+        kernel = functools.partial(
+            _fwd_quant_kernel, params=params, nj=nj, kv_padded=kv_padded
+        )
+        seg_specs = (
+            [
+                pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
+                pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, j)),
+            ]
+            if params.segmented
+            else []
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(bh, ni, nj),
+            in_specs=[
+                pl.BlockSpec((1, group, bq, dp), lambda b, i, j: (b, 0, i, 0)),
+                pl.BlockSpec((1, bkv, dp), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, j)),
+                pl.BlockSpec((1, bkv, dp), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, j)),
+                *seg_specs,
+            ],
+            out_specs=pl.BlockSpec(
+                (1, group, bq, dp), lambda b, i, j: (b, 0, i, 0)
+            ),
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=use_interpret(),
+        )(q4, k3, ks2, v3, vs2, *seg_in)
     out = out.reshape(b, hq, lqp, dp)
     if lqp != lq or dp != d:
         out = out[:, :, :lq, :d]

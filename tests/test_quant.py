@@ -108,3 +108,51 @@ def test_quantized_gpt_forward():
     out4 = gpt_forward_quantized(q4, idx, cfg)
     assert jnp.max(jnp.abs(out4 - ref)) < 1.5
     assert jnp.all(jnp.isfinite(out4))
+
+
+@pytest.mark.parametrize("window", [None, 100])
+def test_kv_quant_window_segments_parity(window):
+    """Quant kernel with sliding window / segment ids == dense attention on
+    the dequantized KV with the same masks (compact causal grid path)."""
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    b, h, l, d = 1, 2, 384, 128
+    q = jax.random.normal(ks[0], (b, h, l, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, l, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, l, d), jnp.float32)
+    segs = jnp.asarray(
+        np.repeat(np.arange(3), l // 3)[None, :], jnp.int32
+    )  # three packed docs
+    kv = quantize_kv(k, v, dtype=jnp.int8)
+    k_d, v_d = dequantize_kv(kv, dtype=jnp.float32)
+    out = flash_attention_kv_quant(
+        q, kv, causal=True, window=window, segment_ids=segs,
+    )
+    ref = vanilla_attention(
+        q, k_d, v_d, causal=True, sm_scale=d**-0.5, window=window,
+        segment_ids=(segs, segs),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_kv_quant_gqa_prefill_parity():
+    """GQA (group>1) through the compact causal grid of the quant kernel."""
+    ks = jax.random.split(jax.random.PRNGKey(8), 3)
+    b, hq, hkv, l, d = 1, 4, 2, 256, 128
+    q = jax.random.normal(ks[0], (b, hq, l, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, hkv, l, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, hkv, l, d), jnp.float32)
+    kv = quantize_kv(k, v, dtype=jnp.int8)
+    k_d, v_d = dequantize_kv(kv, dtype=jnp.float32)
+    out = flash_attention_kv_quant(q, kv, causal=True)
+    ref = vanilla_attention(
+        q,
+        jnp.repeat(k_d, hq // hkv, axis=1),
+        jnp.repeat(v_d, hq // hkv, axis=1),
+        causal=True,
+        sm_scale=d**-0.5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
