@@ -64,14 +64,22 @@ def dryrun_train_step(n_devices: int) -> None:
     jax.block_until_ready(new_params)
     assert jnp.isfinite(loss), f"non-finite loss {loss}"
 
-    # Ring attention over a seq-only mesh on the same devices.
+    # Ring attention over a seq-only mesh on the same devices: both the
+    # contiguous schedule and the zig-zag (striped) causal-load-balanced
+    # one.  KV rotations are double-buffered — the ppermute for step s+1
+    # is issued before step s's kernel, so ICI transfers overlap compute.
     seq_mesh = make_mesh(seq=n_devices, devices=devices[:n_devices])
-    b, h, l, d = 1, 2, 128 * n_devices, 64
+    b, h, l, d = 1, 2, 256 * n_devices, 64
     q = jax.random.normal(jax.random.PRNGKey(2), (b, h, l, d), jnp.float32)
     out = ring_attention(q, q, q, seq_mesh, causal=True)
-    jax.block_until_ready(out)
+    out_z = ring_attention(q, q, q, seq_mesh, causal=True, zigzag=True)
+    jax.block_until_ready((out, out_z))
     assert out.shape == q.shape
+    zerr = float(jnp.max(jnp.abs(out - out_z)))
+    assert zerr < 1e-4, f"zigzag mismatch {zerr}"
     print(
         f"dryrun ok: dp={dp} tp={tp} train-step loss={float(loss):.4f}; "
-        f"ring attention over seq={n_devices} at L={l}"
+        f"ring attention over seq={n_devices} at L={l} "
+        f"(overlapped ppermute; zigzag balanced schedule matches: "
+        f"max|diff|={zerr:.2e})"
     )

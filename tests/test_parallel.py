@@ -149,3 +149,45 @@ def test_ring_attention_grad():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-4, err_msg=f"d{name}"
         )
+
+
+def test_ring_attention_zigzag_parity():
+    """Zig-zag (striped) sharding: every device does equal causal work;
+    result must match dense attention exactly (up to fp tolerance)."""
+    mesh = make_mesh(seq=8)
+    b, h, l, d = 1, 2, 16 * 128, 64
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(ks[0], (b, h, l, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, l, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, l, d), jnp.float32)
+    out = ring_attention(q, k, v, mesh, causal=True, zigzag=True)
+    ref = vanilla_attention(q, k, v, causal=True, sm_scale=d**-0.5)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_ring_attention_zigzag_grad():
+    mesh = make_mesh(seq=4)
+    b, h, l, d = 1, 2, 8 * 128, 64
+    ks = jax.random.split(jax.random.PRNGKey(8), 4)
+    q = jax.random.normal(ks[0], (b, h, l, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, l, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, l, d), jnp.float32)
+    g = jax.random.normal(ks[3], (b, h, l, d), jnp.float32)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring_attention(q, k, v, mesh, causal=True, zigzag=True) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            vanilla_attention(q, k, v, causal=True, sm_scale=d**-0.5) * g
+        )
+
+    gr = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gr, gd, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-4,
+            err_msg=f"d{name}",
+        )
