@@ -146,7 +146,7 @@ def bench_attention_kv_quant(
 
 
 def bench_decode(
-    slots=8, ctx=512, steps=64, kv_quant_dtype=None
+    slots=8, ctx=512, steps=64, kv_quant_dtype=None, attn_impl="einsum"
 ) -> dict:
     """GPT-2 124M greedy decode throughput (tokens/s/chip) with a warm KV
     cache at `ctx` context, plus prefill-time TTFT.
@@ -184,17 +184,77 @@ def bench_decode(
         )(params, prompt, cache, jnp.int32(s))
 
     loop = jax.jit(
-        lambda p, c, t: decode_loop(p, cfg, c, t, steps)[1].sum()
+        lambda p, c, t: decode_loop(
+            p, cfg, c, t, steps, attn_impl=attn_impl
+        )[1].sum()
     )
     first = jnp.zeros((slots,), jnp.int32)
     dt = _timeit(loop, params, cache, first, iters=3)
     toks_per_s = slots * steps / dt
     quant = jnp.dtype(kv_quant_dtype).name if kv_quant_dtype else "bf16"
     return {
-        "config": f"decode GPT2-124M slots{slots} ctx{ctx} kv={quant}",
+        "config": (
+            f"decode GPT2-124M slots{slots} ctx{ctx} kv={quant}"
+            + ("" if attn_impl == "einsum" else f" {attn_impl}")
+        ),
         "ms": dt / steps * 1e3,
         "tokens_per_s": toks_per_s,
         "ttft_ms": ttft_ms,
+    }
+
+
+def bench_engine(
+    slots=8, n_requests=32, rate_per_s=20.0, prompt_len=200,
+    max_new_tokens=64, scan_steps=16, seed=0,
+) -> dict:
+    """Continuous-batching engine under Poisson arrivals: p50/p95 TTFT and
+    aggregate tokens/s (the BASELINE.json 'continuous batching scheduler,
+    TTFT/tokens-per-second measurement' metric, measured end-to-end through
+    the scheduler, scan-based decode and on-device sampling)."""
+    import numpy as np
+
+    from flash_attention_tpu.inference.engine import InferenceEngine
+    from flash_attention_tpu.models import gpt
+
+    cfg = gpt.GPT2_124M
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    eng = InferenceEngine(
+        params, cfg, slots=slots, max_len=512, scan_steps=scan_steps
+    )
+    rng = np.random.default_rng(seed)
+    prompts = rng.integers(
+        0, cfg.vocab_size, (n_requests, prompt_len)
+    ).tolist()
+    # warm up the compiled paths (prefill bucket + decode scan)
+    eng.submit(prompts[0], max_new_tokens=scan_steps)
+    eng.run()
+    eng.finished.clear()
+    eng.stats = {"decode_steps": 0, "prefills": 0, "tokens_out": 0}
+
+    arrivals = np.cumsum(rng.exponential(1.0 / rate_per_s, n_requests))
+    t_start = time.perf_counter()
+    next_req = 0
+    while next_req < n_requests or eng.queue or eng.running:
+        now = time.perf_counter() - t_start
+        while next_req < n_requests and arrivals[next_req] <= now:
+            eng.submit(prompts[next_req], max_new_tokens=max_new_tokens)
+            next_req += 1
+        if eng.queue or eng.running:
+            eng.step()
+        else:
+            time.sleep(min(0.001, arrivals[next_req] - now))
+    wall = time.perf_counter() - t_start
+    ttfts = sorted(r.ttft for r in eng.finished)
+    toks = sum(len(r.output) for r in eng.finished)
+    return {
+        "config": (
+            f"engine GPT2-124M slots{slots} scan{scan_steps} "
+            f"poisson{rate_per_s:.0f}/s x{n_requests}"
+        ),
+        "ttft_p50_ms": ttfts[len(ttfts) // 2] * 1e3,
+        "ttft_p95_ms": ttfts[int(len(ttfts) * 0.95)] * 1e3,
+        "tokens_per_s": toks / wall,
+        "requests": len(eng.finished),
     }
 
 
@@ -313,7 +373,16 @@ def main() -> None:
     parser.add_argument("--all", action="store_true")
     parser.add_argument("--llama", action="store_true")
     parser.add_argument("--train", action="store_true")
+    parser.add_argument("--engine", action="store_true")
     args = parser.parse_args()
+
+    if args.engine:
+        r = bench_engine()
+        print(
+            f"{r['config']:55s} TTFT p50 {r['ttft_p50_ms']:.1f} ms "
+            f"p95 {r['ttft_p95_ms']:.1f} ms  {r['tokens_per_s']:7.0f} tok/s",
+            file=sys.stderr,
+        )
 
     headline = bench_attention_fwd()
     if args.all:
@@ -330,7 +399,11 @@ def main() -> None:
         ]
         for r in rows:
             print(f"{r['config']:55s} {r['ms']:8.3f} ms {r['tflops']:7.1f} TFLOP/s", file=sys.stderr)
-        for r in [bench_decode(), bench_decode(kv_quant_dtype=jnp.int8)]:
+        for r in [
+            bench_decode(),
+            bench_decode(kv_quant_dtype=jnp.int8),
+            bench_decode(kv_quant_dtype=jnp.int8, attn_impl="paged"),
+        ]:
             print(
                 f"{r['config']:55s} {r['ms']:8.3f} ms/tok {r['tokens_per_s']:7.0f} tok/s "
                 f"TTFT {r['ttft_ms']:.1f} ms",

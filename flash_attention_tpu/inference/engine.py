@@ -31,7 +31,7 @@ import numpy as np
 from ..models.gpt import GPTConfig
 from . import kv_cache as kvc
 from .model_runner import decode_step, prefill
-from .sampling import sample
+from .sampling import sample, sample_tokens
 
 
 @dataclasses.dataclass
@@ -78,12 +78,19 @@ class InferenceEngine:
         rng_seed: int = 0,
         prefill_fn=None,
         decode_fn=None,
+        scan_steps: int = 8,
     ):
         """cfg: a GPTConfig (default architecture) or any config whose
         (n_layer, head_dim, dtype) fields exist; for non-GPT architectures
-        pass `prefill_fn(params, tokens, cfg, cache, slot)` and
+        pass `prefill_fn(params, tokens, cfg, cache, slot, length)` and
         `decode_fn(params, tokens, cfg, cache, active)` (e.g. the llama
-        module's prefill/decode_step)."""
+        module's prefill/decode_step).
+
+        scan_steps: decode tokens generated per dispatch.  The decode hot
+        loop runs `scan_steps` steps under one lax.scan (sampling included,
+        per-slot temperature/top_k), so per-token cost approaches the raw
+        decode_loop kernel; the host syncs, retires finished requests, and
+        admits new ones only between scans.  1 restores per-token stepping."""
         self.params = params
         self.cfg = cfg
         self.slots = slots
@@ -101,18 +108,52 @@ class InferenceEngine:
             quant_dtype=kv_quant_dtype,
         )
         self.buckets = _buckets(self.max_len)
+        self.scan_steps = max(1, scan_steps)
         _prefill_impl = prefill_fn or prefill
         _decode_impl = decode_fn or decode_step
+        # (No donate_argnums: fresh caches hold aliased zero buffers — JAX
+        # constant-caches identical jnp.zeros — and donating the same buffer
+        # twice is an error; measured no win through the axon tunnel anyway.)
         self._prefill = jax.jit(
-            lambda p, toks, cache, slot: _prefill_impl(p, toks, cfg, cache, slot)
+            lambda p, toks, cache, slot, n: _prefill_impl(
+                p, toks, cfg, cache, slot, n
+            )
         )
         self._decode = jax.jit(
             lambda p, toks, cache, active: _decode_impl(p, toks, cfg, cache, active)
         )
+
+        def _scan(p, cache, first_toks, active, rng, temps, topks, sampling):
+            def body(carry, _):
+                cache, toks, rng = carry
+                cache, logits = _decode_impl(p, toks, cfg, cache, active)
+                if sampling:
+                    rng, sub = jax.random.split(rng)
+                    nxt = sample_tokens(logits, sub, temps, topks)
+                else:
+                    # all-greedy fast path: skips the full-vocab top-k sort
+                    nxt = jnp.argmax(logits, axis=-1)
+                return (cache, nxt.astype(jnp.int32), rng), nxt
+
+            (cache, _, rng), toks = jax.lax.scan(
+                body,
+                (cache, first_toks, rng),
+                None,
+                length=self.scan_steps,
+            )
+            return cache, toks, rng
+
+        self._decode_scan = jax.jit(_scan, static_argnums=(7,))
         self.queue: deque[Request] = deque()
         self.running: dict[int, Request] = {}  # slot -> request
         self.finished: list[Request] = []
-        self._next_tokens = np.zeros((slots,), np.int32)
+        # Device-resident per-slot decode state: every host->device transfer
+        # costs a full dispatch latency (measured ~3-5 ms each through the
+        # axon tunnel), so next-tokens ride on device between scans and the
+        # (active, temps, topks) config arrays are rebuilt only when the
+        # running set changes.
+        self._next_tokens_dev = jnp.zeros((slots,), jnp.int32)
+        self._slot_cfg = None  # (active_dev, temps_dev, topks_dev, sampling)
         self._uid = 0
         self._rng = jax.random.PRNGKey(rng_seed)
         self.stats = {"decode_steps": 0, "prefills": 0, "tokens_out": 0}
@@ -176,43 +217,22 @@ class InferenceEngine:
             bucket = self._bucket_len(n)
             toks = np.zeros((bucket,), np.int32)
             toks[:n] = req.prompt
-            # Right-pad with the last token: padded tail is truncated below by
-            # setting length = n afterwards.
+            # Right-pad with the last token; the prefill computes logits at
+            # the true position n-1 and sets cache length = n directly, so
+            # padded admissions cost exactly one dispatch.
             toks[n:] = req.prompt[-1]
-            cache, logits = self._prefill(
-                self.params, jnp.asarray(toks), self.cache, jnp.int32(slot)
+            self.cache, logits = self._prefill(
+                self.params,
+                jnp.asarray(toks),
+                self.cache,
+                jnp.int32(slot),
+                jnp.int32(n),
             )
-            if bucket != n:
-                # the logits we want are at position n-1; redo cheaply by
-                # re-picking from the full prefill using exact length
-                cache = kvc.set_length(cache, jnp.int32(slot), n)
-                # bucket-padded prefill computed last-position logits; for
-                # padded prompts run one decode-style correction instead:
-                logits = None
-            self.cache = cache
-            tok = (
-                self._sample_one(logits, req) if logits is not None else None
-            )
-            if tok is None:
-                # exact last-token logits via one decode step on this slot:
-                # feed the true last prompt token at position n-1.
-                self.cache = kvc.set_length(
-                    self.cache, jnp.int32(slot), n - 1
-                )
-                toks_all = np.array(self._next_tokens)
-                toks_all[slot] = req.prompt[-1]
-                active = np.zeros((self.slots,), bool)
-                active[slot] = True
-                self.cache, logits_all = self._decode(
-                    self.params,
-                    jnp.asarray(toks_all),
-                    self.cache,
-                    jnp.asarray(active),
-                )
-                tok = self._sample_one(logits_all[slot], req)
+            tok = self._sample_one(logits, req)
             req.first_token_time = time.time()
             req.output.append(int(tok))
-            self._next_tokens[slot] = int(tok)
+            self._next_tokens_dev = self._next_tokens_dev.at[slot].set(tok)
+            self._slot_cfg = None  # running set changes: rebuild on device
             self.stats["prefills"] += 1
             self.stats["tokens_out"] += 1
             if (req.eos_id is not None and int(tok) == req.eos_id) or (
@@ -236,35 +256,68 @@ class InferenceEngine:
         )
 
     def _decode_all(self) -> None:
-        active = np.zeros((self.slots,), bool)
-        for s in self.running:
-            active[s] = True
-        self.cache, logits = self._decode(
+        """Generate up to scan_steps tokens per running slot in ONE dispatch.
+
+        Sampling happens on-device inside the scan (per-slot temperature /
+        top_k), so the host only sees the [scan_steps, slots] token block.
+        Requests finishing mid-scan (eos / max_new_tokens / cache full)
+        over-generate until the scan ends; the surplus tokens are dropped
+        host-side and the slot is retired — a few wasted device steps buy
+        the removal of the ~ms-scale per-token dispatch latency.
+        """
+        if self._slot_cfg is None:
+            active = np.zeros((self.slots,), bool)
+            temps = np.zeros((self.slots,), np.float32)
+            vocab = getattr(self.cfg, "vocab_size", None) or 1 << 30
+            topks = np.full((self.slots,), vocab, np.int32)
+            for s, req in self.running.items():
+                active[s] = True
+                temps[s] = req.temperature
+                if req.top_k is not None:
+                    topks[s] = req.top_k
+            self._slot_cfg = (
+                jnp.asarray(active),
+                jnp.asarray(temps),
+                jnp.asarray(topks),
+                bool((temps > 0).any()),
+            )
+        active_d, temps_d, topks_d, sampling = self._slot_cfg
+        self.cache, toks_dev, self._rng = self._decode_scan(
             self.params,
-            jnp.asarray(self._next_tokens),
             self.cache,
-            jnp.asarray(active),
+            self._next_tokens_dev,
+            active_d,
+            self._rng,
+            temps_d,
+            topks_d,
+            sampling,
         )
-        self.stats["decode_steps"] += 1
+        self._next_tokens_dev = toks_dev[-1]
+        toks = np.asarray(toks_dev)  # [scan_steps, slots] — one D2H per scan
+        self.stats["decode_steps"] += self.scan_steps
         done: list[int] = []
         for slot, req in self.running.items():
-            self._rng, sub = jax.random.split(self._rng)
-            tok = int(
-                sample(
-                    logits[slot][None],
-                    sub,
-                    temperature=req.temperature,
-                    top_k=req.top_k,
-                )[0]
-            )
-            req.output.append(tok)
-            self._next_tokens[slot] = tok
-            self.stats["tokens_out"] += 1
-            hit_eos = req.eos_id is not None and tok == req.eos_id
-            cache_full = len(req.prompt) + len(req.output) >= self.max_len
-            if len(req.output) >= req.max_new_tokens or hit_eos or cache_full:
+            finished = False
+            for step in range(self.scan_steps):
+                tok = int(toks[step, slot])
+                req.output.append(tok)
+                self.stats["tokens_out"] += 1
+                hit_eos = req.eos_id is not None and tok == req.eos_id
+                cache_full = (
+                    len(req.prompt) + len(req.output) >= self.max_len
+                )
+                if (
+                    len(req.output) >= req.max_new_tokens
+                    or hit_eos
+                    or cache_full
+                ):
+                    finished = True
+                    break
+            if finished:
                 req.finish_time = time.time()
                 self.finished.append(req)
                 done.append(slot)
         for slot in done:
             del self.running[slot]
+        if done:
+            self._slot_cfg = None

@@ -48,11 +48,16 @@ def prefill(
     cfg: GPTConfig,
     cache: kvc.KVCache,
     slot: jax.Array,
+    length: jax.Array | None = None,
 ) -> tuple[kvc.KVCache, jax.Array]:
     """Run a prompt [T] through the model, filling `slot` of the cache.
 
-    Returns (cache, last-token logits [vocab]).  T is static (bucketed by
-    the scheduler); the slot must be fresh (length 0 semantics).
+    Returns (cache, logits [vocab] at the last REAL token).  T is static
+    (bucketed by the scheduler); `length` is the true prompt length when
+    the prompt is right-padded to the bucket — the returned logits come
+    from position length-1 and the cache length is set to `length`, so a
+    bucket-padded admission needs no correction decode step.  The slot
+    must be fresh (length 0 semantics).
     """
     t = tokens.shape[0]
     d, h, hkv = cfg.head_dim, cfg.n_head, cfg.kv_heads
@@ -69,8 +74,14 @@ def prefill(
         x = x + _matmul(y, blk["attn"]["wo"], blk["attn"]["bo"])
         x = x + _mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
     x = _layer_norm(x, params["lnf"])
-    logits = (x[0, -1] @ params["wte"].astype(x.dtype).T).astype(jnp.float32)
-    cache = kvc.set_length(cache, slot, t)
+    if length is None:
+        last = x[0, -1]
+        n = t
+    else:
+        last = jnp.take(x[0], length - 1, axis=0)
+        n = length
+    logits = (last @ params["wte"].astype(x.dtype).T).astype(jnp.float32)
+    cache = kvc.set_length(cache, slot, n)
     return cache, logits
 
 
@@ -126,6 +137,8 @@ def decode_loop(
     cache: kvc.KVCache,
     first_tokens: jax.Array,
     n_steps: int,
+    *,
+    attn_impl: str = "einsum",
 ) -> tuple[kvc.KVCache, jax.Array]:
     """Fully on-device greedy decoding: `n_steps` chained decode steps under
     one lax.scan (one dispatch for the whole generation — the production
@@ -135,7 +148,9 @@ def decode_loop(
 
     def body(carry, _):
         cache, toks = carry
-        cache, logits = decode_step(params, toks, cfg, cache)
+        cache, logits = decode_step(
+            params, toks, cfg, cache, attn_impl=attn_impl
+        )
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (cache, nxt), nxt
 

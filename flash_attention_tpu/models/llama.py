@@ -172,9 +172,11 @@ def prefill(
     cfg: LlamaConfig,
     cache: kvc.KVCache,
     slot: jax.Array,
+    length: jax.Array | None = None,
 ) -> tuple[kvc.KVCache, jax.Array]:
-    """Prompt [T] -> (cache, last-token logits).  RoPE-rotated K is cached
-    (standard practice: rotation depends only on absolute position)."""
+    """Prompt [T] -> (cache, last-REAL-token logits).  RoPE-rotated K is
+    cached (standard practice: rotation depends only on absolute position).
+    `length` handles bucket-padded prompts like model_runner.prefill."""
     t = tokens.shape[0]
     x = params["wte"][tokens].astype(cfg.dtype)[None]
     cos, sin = rope_cos_sin(jnp.arange(t), cfg.head_dim, cfg.rope_theta)
@@ -189,8 +191,12 @@ def prefill(
         x = x + _mm(y, blk["wo"])
         x = x + _mlp(_rms_norm(x, blk["mlp_norm"], cfg.rms_eps), blk)
     x = _rms_norm(x, params["norm_f"], cfg.rms_eps)
-    logits = _mm(x[0, -1], params["lm_head"]).astype(jnp.float32)
-    return kvc.set_length(cache, slot, t), logits
+    if length is None:
+        last, n = x[0, -1], t
+    else:
+        last, n = jnp.take(x[0], length - 1, axis=0), length
+    logits = _mm(last, params["lm_head"]).astype(jnp.float32)
+    return kvc.set_length(cache, slot, n), logits
 
 
 def decode_step(
