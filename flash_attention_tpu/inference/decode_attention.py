@@ -76,14 +76,15 @@ def decode_attention_paged(
     of the slot cache).  Reads only pages up to each slot's length and
     streams quantized payloads at 1 byte/elem — the production decode path.
 
-    head_dim must be a multiple of 128 on TPU (Mosaic page-DMA alignment);
-    smaller head dims transparently fall back to the einsum path.
+    Small head dims (64, 32, ...) are lane-packed into 128-wide page rows
+    inside paged_attention (Mosaic page-DMA alignment); head dims that
+    neither divide nor are a multiple of 128 fall back to the einsum path.
     """
-    from ..config import use_interpret
     from . import kv_cache as kvc
     from .paged_attention import paged_attention
 
-    if q.shape[-1] % 128 and not use_interpret():
+    d = q.shape[-1]
+    if d % 128 and (128 % d or page_size % (128 // max(d, 1))):
         return decode_attention(q, cache, layer, sm_scale=sm_scale)
 
     kp, vp, ks, vs = kvc.page_view(cache, layer, page_size)

@@ -65,10 +65,21 @@ def _paged_kernel(
     page_size: int,
     nblocks: int,
     quantized: bool,
+    pack: int = 1,
 ):
+    """pack > 1: head_dim < 128 lane-packing.  K/V pages arrive reshaped
+    (free, row-major) to [.., page_size/pack, d*pack] so the per-page DMA
+    trailing extent is 128; packed row r of a page holds tokens
+    pack*r .. pack*r+pack-1 side by side in lanes.  The kernel computes
+    scores per lane-group g (a static lane slice of the packed buffer), so
+    score column c corresponds to token (c%bkp)//rows_pp*page_size +
+    pack*((c%bkp)%rows_pp) + c//bkp; masks use that mapping directly and
+    quantization scales are permuted into it with a one-hot matmul."""
     b, h, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     group, d = q_ref.shape[2], q_ref.shape[3]
     bk = ppcb * page_size
+    bkp = bk // pack  # score columns per lane-group
+    rows_pp = page_size // pack  # packed rows per page
     length = lengths_ref[b]
 
     def copies(bb, hh, ii, slot):
@@ -144,15 +155,49 @@ def _paged_kernel(
                 cps[c * per + 2].wait()  # K scales
 
         q = q_ref[0, 0]  # [group, d]
-        k = k_buf[slot].reshape(bk, d)
-        s = jax.lax.dot_general(
-            q, k.astype(q.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+
+        def col_token(c):
+            """Token index of score column c (identity when pack == 1)."""
+            if pack == 1:
+                return c
+            r = c % bkp
+            g = c // bkp
+            return (r // rows_pp) * page_size + pack * (r % rows_pp) + g
+
+        if pack == 1:
+            k = k_buf[slot].reshape(bk, d)
+            s = jax.lax.dot_general(
+                q, k.astype(q.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            kb = k_buf[slot].reshape(bkp, d * pack)
+            s = jnp.concatenate(
+                [
+                    jax.lax.dot_general(
+                        q,
+                        kb[:, g * d : (g + 1) * d].astype(q.dtype),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for g in range(pack)
+                ],
+                axis=1,
+            )
         s = s * sm_scale
         if quantized:
-            s = s * ks_buf[slot].reshape(1, bk)
-        col = i * bk + jax.lax.broadcasted_iota(jnp.int32, (group, bk), 1)
+            ks = ks_buf[slot].reshape(1, bk)
+            if pack > 1:
+                # permute token-order scales into score-column order with a
+                # one-hot matmul (tiny: (1,bk)@(bk,bk))
+                rows_i = jax.lax.broadcasted_iota(jnp.int32, (bk, bk), 0)
+                cols_i = jax.lax.broadcasted_iota(jnp.int32, (bk, bk), 1)
+                perm = (rows_i == col_token(cols_i)).astype(jnp.float32)
+                ks = jax.lax.dot(ks, perm, preferred_element_type=jnp.float32)
+            s = s * ks
+        col = i * bk + col_token(
+            jax.lax.broadcasted_iota(jnp.int32, (group, bk), 1)
+        )
         s = s + jnp.where(col < length, 0.0, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]
@@ -169,12 +214,30 @@ def _paged_kernel(
             if quantized:
                 cps[c * per + 3].wait()  # V scales
         if quantized:
-            p_w = p_w * vs_buf[slot].reshape(1, bk)
-        v = v_buf[slot].reshape(bk, d)
-        acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + jax.lax.dot(
-            p_w.astype(q.dtype), v.astype(q.dtype),
-            preferred_element_type=jnp.float32,
-        )
+            vs = vs_buf[slot].reshape(1, bk)
+            if pack > 1:
+                rows_i = jax.lax.broadcasted_iota(jnp.int32, (bk, bk), 0)
+                cols_i = jax.lax.broadcasted_iota(jnp.int32, (bk, bk), 1)
+                perm = (rows_i == col_token(cols_i)).astype(jnp.float32)
+                vs = jax.lax.dot(vs, perm, preferred_element_type=jnp.float32)
+            p_w = p_w * vs
+        if pack == 1:
+            v = v_buf[slot].reshape(bk, d)
+            acc = jax.lax.dot(
+                p_w.astype(q.dtype), v.astype(q.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            vb = v_buf[slot].reshape(bkp, d * pack)
+            acc = sum(
+                jax.lax.dot(
+                    p_w[:, g * bkp : (g + 1) * bkp].astype(q.dtype),
+                    vb[:, g * d : (g + 1) * d].astype(q.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                for g in range(pack)
+            )
+        acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + acc
         buf_idx[0] = 1 - slot
 
     @pl.when(i == nblocks - 1)
@@ -221,12 +284,25 @@ def paged_attention(
     quantized = k_scales is not None
     if sm_scale is None:
         sm_scale = float(d) ** -0.5
-    if d % 128 and not use_interpret():
+    pack = 1
+    if d % 128:
         # Mosaic requires 128-aligned trailing extents for per-page DMA
         # slices (measured: d=64 fails, d=128 works, any array size).
-        raise ValueError(
-            f"paged_attention requires head_dim % 128 == 0 on TPU (got {d}); "
-            "pad the KV pages to 128 lanes or use decode_attention"
+        # Lane-pack small head dims: view pages as (page_size/pack, d*pack)
+        # — a free row-major reshape — and unpack inside the kernel.
+        if 128 % d or page_size % (128 // d):
+            raise ValueError(
+                f"paged_attention needs head_dim dividing 128 with "
+                f"page_size % (128/head_dim) == 0 (got d={d}, "
+                f"page_size={page_size}); use decode_attention instead"
+            )
+        pack = 128 // d
+        n_pages = k_pages.shape[1]
+        k_pages = k_pages.reshape(
+            hkv, n_pages, page_size // pack, d * pack
+        )
+        v_pages = v_pages.reshape(
+            hkv, n_pages, page_size // pack, d * pack
         )
     ppcb = min(pages_per_compute_block, pages_per_seq)
     while pages_per_seq % ppcb:
@@ -244,6 +320,7 @@ def paged_attention(
         page_size=page_size,
         nblocks=nblocks,
         quantized=quantized,
+        pack=pack,
     )
     if not quantized:
         # zero-size placeholders so the kernel arity is static
@@ -271,8 +348,8 @@ def paged_attention(
             pltpu.VMEM((group, 128), jnp.float32),
             pltpu.VMEM((group, 128), jnp.float32),
             pltpu.VMEM((group, d), jnp.float32),
-            pltpu.VMEM((2, ppcb, page_size, d), k_pages.dtype),
-            pltpu.VMEM((2, ppcb, page_size, d), v_pages.dtype),
+            pltpu.VMEM((2, ppcb, page_size // pack, d * pack), k_pages.dtype),
+            pltpu.VMEM((2, ppcb, page_size // pack, d * pack), v_pages.dtype),
             pltpu.VMEM((2, ppcb, page_size), jnp.float32),
             pltpu.VMEM((2, ppcb, page_size), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),

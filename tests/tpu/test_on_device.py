@@ -258,3 +258,44 @@ def test_paged_decode_attention():
             sm_scale=sm,
         )[:, :, 0]
         assert _maxerr(out[b : b + 1], ref) <= 3e-2, f"slot {b}"
+
+
+@pytest.mark.parametrize("quant", [None, jnp.int8])
+def test_paged_decode_head_dim_64(quant):
+    """Lane-packed paged kernel for head_dim 64 (GPT-2 class) on hardware."""
+    from flash_attention_tpu.inference.paged_attention import (
+        paged_attention, paged_attention_ref,
+    )
+    from flash_attention_tpu.quant.kv import quantize_tokens
+
+    batch, h, d = 4, 4, 64
+    page_size, pages_per_seq = 128, 4
+    max_len = page_size * pages_per_seq
+    total_pages = batch * pages_per_seq
+    ks = jax.random.split(jax.random.PRNGKey(6), 3)
+    k_pages = jax.random.normal(
+        ks[0], (h, total_pages, page_size, d), jnp.bfloat16
+    )
+    v_pages = jax.random.normal(
+        ks[1], (h, total_pages, page_size, d), jnp.bfloat16
+    )
+    q = jax.random.normal(ks[2], (batch, h, d), jnp.bfloat16)
+    kscale = vscale = None
+    if quant is not None:
+        k_pages, kscale = quantize_tokens(k_pages, quant)
+        v_pages, vscale = quantize_tokens(v_pages, quant)
+    page_indices = jnp.arange(total_pages, dtype=jnp.int32).reshape(
+        batch, pages_per_seq
+    )
+    lengths = jnp.asarray([max_len, 300, 129, 1], jnp.int32)
+    out = jax.jit(
+        lambda q, kp, vp: paged_attention(
+            q, kp, vp, lengths, page_indices,
+            k_scales=kscale, v_scales=vscale,
+        )
+    )(q, k_pages, v_pages)
+    ref = paged_attention_ref(
+        q, k_pages, v_pages, lengths, page_indices,
+        k_scales=kscale, v_scales=vscale,
+    )
+    assert _maxerr(out, ref) <= 3e-2
