@@ -53,3 +53,47 @@ def test_flops_estimate_smoke():
     f = flops_estimate(lambda q: vanilla_attention(q, q, q), q)
     if f is not None:  # backend-dependent
         assert f > 0
+
+
+def test_variable_table_accounts_all_bytes():
+    """Per-variable size table (reference get_report_variables analog,
+    demo/profile_utils.py:62-80): every leaf named, totals exact."""
+    from flash_attention_tpu.utils.profiling import (
+        format_variable_table, variable_table,
+    )
+
+    tree = {
+        "wte": jnp.zeros((1000, 64), jnp.bfloat16),
+        "blocks": [
+            {"w": jnp.zeros((64, 64), jnp.float32)},
+            {"w": jnp.zeros((64, 64), jnp.float32)},
+        ],
+    }
+    rows = variable_table(tree, name="params")
+    assert len(rows) == 3
+    assert rows[0].name == "params['wte']" and rows[0].bytes == 1000 * 64 * 2
+    assert sum(r.bytes for r in rows) == 1000 * 64 * 2 + 2 * 64 * 64 * 4
+    text = format_variable_table(rows, top=2)
+    assert "TOTAL" in text and "params['wte']" in text
+
+
+def test_liveness_curve_flash_vs_dense():
+    """HLO-liveness curve (reference Poplar liveness plot analog,
+    demo/profile_utils.py:11-60): dense attention's peak live bytes must
+    dominate flash's by at least the score-matrix size."""
+    from flash_attention_tpu.utils.profiling import liveness
+
+    b, h, l, d = 1, 8, 1024, 64
+    q = jnp.zeros((b, h, l, d), jnp.float32)
+    _, dense = liveness(
+        lambda q, k, v: vanilla_attention(q, k, v, causal=True, sm_scale=1.0),
+        q, q, q,
+    )
+    _, flash = liveness(
+        lambda q, k, v: flash_attention(q, k, v, causal=True, sm_scale=1.0),
+        q, q, q,
+    )
+    assert len(dense) > 3 and len(flash) > 3
+    score_bytes = b * h * l * l * 4
+    assert dense.max() >= score_bytes
+    assert flash.max() * 2 <= dense.max(), (flash.max(), dense.max())
