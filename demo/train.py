@@ -31,10 +31,7 @@ import numpy as np
 from flash_attention_tpu.data import CharTokenizer, batch_iterator
 from flash_attention_tpu.models import gpt
 from flash_attention_tpu.training import Trainer, TrainerConfig
-from flash_attention_tpu.training.checkpoint import (
-    enable_compilation_cache,
-    save_checkpoint,
-)
+from flash_attention_tpu.training.checkpoint import enable_compilation_cache
 
 
 def synthetic_corpus(n_chars: int = 200_000, seed: int = 0) -> str:
@@ -55,6 +52,30 @@ def synthetic_corpus(n_chars: int = 200_000, seed: int = 0) -> str:
         out.append(sent)
         total += len(sent)
     return "".join(out)
+
+
+def plot_losses(history: list[dict], path: pathlib.Path) -> None:
+    """Train/val loss curves, the reference's wandb/matplotlib plot analog
+    (/root/reference/demo/train.py:109-136; notebook cells 30-31)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 4))
+    its = [r["iter"] for r in history]
+    ax.plot(its, [r["train_loss"] for r in history], label="train loss")
+    evals = [(r["iter"], r["val_loss"]) for r in history if "val_loss" in r]
+    if evals:
+        ax.plot(*zip(*evals), marker="o", label="val loss")
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("loss")
+    ax.set_ylim(bottom=0)
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
 
 
 def train(**overrides):
@@ -87,6 +108,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
     p.add_argument("--profile", action="store_true", help="trace 1 iter and exit")
     p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument(
+        "--resume", action="store_true",
+        help="continue from the latest step_* checkpoint under --out-dir",
+    )
+    p.add_argument(
+        "--plot", action="store_true",
+        help="also write loss_curve.png (reference demo/train.py:109-136)",
+    )
     p.add_argument("--compile-cache", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -117,15 +146,24 @@ def _run(args: argparse.Namespace):
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         use_flash=args.attention == "flash",
     )
+    outdir = pathlib.Path(args.out_dir)
     tcfg = TrainerConfig(
         max_iters=args.max_iters,
         eval_interval=args.eval_interval,
         eval_iters=args.eval_iters,
         learning_rate=args.learning_rate,
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_dir=str(outdir) if args.checkpoint_every else None,
     )
     trainer = Trainer(cfg, tcfg, seed=args.seed)
     print(f"model: {gpt.num_params(trainer.params) / 1e6:.2f}M params, "
           f"attention={args.attention}")
+    if args.resume:
+        step = trainer.resume(str(outdir))
+        if step is None:
+            print(f"--resume: no step_* checkpoint under {outdir}; starting fresh")
+        else:
+            print(f"resumed from step {step}")
 
     train_iter = batch_iterator(
         train_data, args.batch_size, cfg.block_size, seed=args.seed
@@ -151,20 +189,18 @@ def _run(args: argparse.Namespace):
         print(f"profile written to {outdir}")
         return trainer, []
 
+    start_step = trainer.step
     t0 = time.time()
     history = trainer.fit(train_iter, val_batches=val_batches)
     wall = time.time() - t0
-    tokens = args.max_iters * args.batch_size * cfg.block_size
+    tokens = (args.max_iters - start_step) * args.batch_size * cfg.block_size
     print(f"done: {wall:.1f}s, {tokens / wall:.0f} tokens/s")
 
-    outdir = pathlib.Path(args.out_dir)
     outdir.mkdir(parents=True, exist_ok=True)
     (outdir / "history.json").write_text(json.dumps(history, indent=1))
-    if args.checkpoint_every:
-        save_checkpoint(
-            outdir.resolve() / f"step_{args.max_iters}",
-            {"params": trainer.params, "step": args.max_iters},
-        )
+    if args.plot and history:
+        plot_losses(history, outdir / "loss_curve.png")
+        print(f"loss curve: {outdir / 'loss_curve.png'}")
     # sample a little text
     start = jnp.asarray(tok.encode(text[:8])[None, :].astype(np.int32))
     sample_ids = gpt.generate(

@@ -70,6 +70,11 @@ class TrainerConfig:
     lr_decay_iters: int | None = None  # default: max_iters
     gradient_accumulation: int = 1
     log_interval: int = 50
+    # Periodic checkpointing + resume (the reference has neither — SURVEY §5):
+    # every `checkpoint_every` iters (and at the end) the full training state
+    # (params, opt_state, step, rng) is saved to `checkpoint_dir/step_N`.
+    checkpoint_every: int = 0
+    checkpoint_dir: str | None = None
 
 
 class Trainer:
@@ -122,6 +127,52 @@ class Trainer:
         )
         self._eval_step = jax.jit(make_eval_step(cfg))
         self.history: list[dict] = []
+        self.step = 0
+
+    # -- checkpoint / resume ------------------------------------------------
+
+    def _ckpt_state(self) -> dict:
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "step": self.step,
+            "rng": self.rng,
+        }
+
+    def save(self, root: str | None = None) -> str:
+        """Save full training state to ``root/step_{step}``; returns the path."""
+        import pathlib
+
+        from .checkpoint import save_checkpoint
+
+        root = root or self.tcfg.checkpoint_dir
+        if root is None:
+            raise ValueError("no checkpoint dir: pass root= or set tcfg.checkpoint_dir")
+        path = pathlib.Path(root).resolve() / f"step_{self.step}"
+        save_checkpoint(path, self._ckpt_state())
+        return str(path)
+
+    def resume(self, root: str | None = None) -> int | None:
+        """Restore from the latest ``step_*`` checkpoint under root.
+
+        Returns the restored step (training continues from there: ``fit``
+        starts at ``self.step``, and the optax schedule picks up from the
+        restored opt_state's internal count) or None if no checkpoint exists.
+        """
+        from .checkpoint import latest_step_dir, restore_checkpoint
+
+        root = root or self.tcfg.checkpoint_dir
+        if root is None:
+            raise ValueError("no checkpoint dir: pass root= or set tcfg.checkpoint_dir")
+        path = latest_step_dir(root)
+        if path is None:
+            return None
+        state = restore_checkpoint(path, like=self._ckpt_state())
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.step = int(state["step"])
+        self.rng = jnp.asarray(state["rng"])
+        return self.step
 
     def fit(
         self,
@@ -145,13 +196,17 @@ class Trainer:
 
     def _fit(self, train_batches, val_batches, log, metrics) -> list[dict]:
         t0 = time.time()
-        for it in range(self.tcfg.max_iters):
+        ckpt_every = self.tcfg.checkpoint_every
+        for it in range(self.step, self.tcfg.max_iters):
             idx, targets = next(train_batches)
             self.rng, sub = jax.random.split(self.rng)
             self.params, self.opt_state, loss = self._train_step(
                 self.params, self.opt_state, idx, targets, sub
             )
+            self.step = it + 1
             last = it == self.tcfg.max_iters - 1
+            if ckpt_every and (self.step % ckpt_every == 0 or last):
+                log(f"checkpoint: {self.save()}")
             do_log = it % self.tcfg.log_interval == 0 or last
             do_eval = val_batches is not None and (
                 it % self.tcfg.eval_interval == 0 or last

@@ -81,3 +81,34 @@ def test_checkpoint_roundtrip(tmp_path):
         gpt.forward(trainer.params, idx, cfg),
         atol=0,
     )
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    """Train 8 iters straight vs 4 + checkpoint + resume + 4: identical
+    final params (resume restores params, opt_state incl. the schedule
+    count, step, and rng; the test feeds the resumed run the same batch
+    suffix the straight run saw)."""
+    from flash_attention_tpu.data import batch_iterator
+
+    # straight run
+    t_a, batches_a, data, _ = _tiny_setup(max_iters=8)
+    t_a.fit(batches_a, log=lambda s: None)
+
+    # interrupted run: same config (same 8-iter LR schedule), stopped at 4
+    t_b, batches_b, _, _ = _tiny_setup(max_iters=8)
+    t_b.tcfg.max_iters = 4
+    t_b.tcfg.checkpoint_every = 4
+    t_b.tcfg.checkpoint_dir = str(tmp_path)
+    t_b.fit(batches_b, log=lambda s: None)
+    assert t_b.step == 4
+
+    # fresh trainer resumes and continues on the same batch stream
+    t_c, _, _, _ = _tiny_setup(max_iters=8)
+    assert t_c.resume(str(tmp_path)) == 4
+    batches_c = batch_iterator(data, 8, t_c.cfg.block_size, seed=0)
+    for _ in range(4):  # skip the batches the first 4 iters consumed
+        next(batches_c)
+    history = t_c.fit(batches_c, log=lambda s: None)
+    assert history and history[-1]["iter"] == 7
+    for a, c in zip(jax.tree.leaves(t_a.params), jax.tree.leaves(t_c.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
