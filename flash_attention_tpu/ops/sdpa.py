@@ -53,6 +53,38 @@ def _supported(bias, mask, query_seq_lengths, key_value_seq_lengths) -> bool:
     )
 
 
+def _try_flash(query, key, value, bias, mask, kwargs) -> jax.Array | None:
+    """Route onto the flash kernel if the arguments are expressible there.
+
+    Single source of truth for the gating used by both the explicit
+    ``dot_product_attention`` entry point and the installed patch wrapper.
+    Returns None when the call must fall back to the stock implementation.
+    """
+    is_causal = kwargs.get("is_causal", False)
+    win_ok, window = _window_from_local(
+        kwargs.get("local_window_size"), is_causal
+    )
+    if (
+        not _supported(
+            bias,
+            mask,
+            kwargs.get("query_seq_lengths"),
+            kwargs.get("key_value_seq_lengths"),
+        )
+        or not win_ok
+        or kwargs.get("implementation") in ("xla", "cudnn")
+    ):
+        return None
+    # BTNH -> BNTH for the kernel.
+    q = jnp.swapaxes(query, 1, 2)
+    k = jnp.swapaxes(key, 1, 2)
+    v = jnp.swapaxes(value, 1, 2)
+    out = flash_attention(
+        q, k, v, causal=is_causal, sm_scale=kwargs.get("scale"), window=window
+    )
+    return jnp.swapaxes(out, 1, 2)
+
+
 def dot_product_attention(
     query: jax.Array,
     key: jax.Array,
@@ -75,34 +107,20 @@ def dot_product_attention(
     there; otherwise falls back to the stock XLA implementation (the
     reference's "fall through to the original function" behavior, …:60-61).
     """
-    win_ok, window = _window_from_local(local_window_size, is_causal)
-    if (
-        not _supported(bias, mask, query_seq_lengths, key_value_seq_lengths)
-        or not win_ok
-        or implementation in ("xla", "cudnn")
-    ):
-        return jax.nn.dot_product_attention(
-            query,
-            key,
-            value,
-            bias=bias,
-            mask=mask,
-            scale=scale,
-            is_causal=is_causal,
-            query_seq_lengths=query_seq_lengths,
-            key_value_seq_lengths=key_value_seq_lengths,
-            local_window_size=local_window_size,
-            implementation=implementation,
-            **kwargs,
-        )
-    # BTNH -> BNTH for the kernel.
-    q = jnp.swapaxes(query, 1, 2)
-    k = jnp.swapaxes(key, 1, 2)
-    v = jnp.swapaxes(value, 1, 2)
-    out = flash_attention(
-        q, k, v, causal=is_causal, sm_scale=scale, window=window
+    route_kwargs = dict(
+        scale=scale,
+        is_causal=is_causal,
+        query_seq_lengths=query_seq_lengths,
+        key_value_seq_lengths=key_value_seq_lengths,
+        local_window_size=local_window_size,
+        implementation=implementation,
     )
-    return jnp.swapaxes(out, 1, 2)
+    out = _try_flash(query, key, value, bias, mask, route_kwargs)
+    if out is not None:
+        return out
+    return jax.nn.dot_product_attention(
+        query, key, value, bias=bias, mask=mask, **route_kwargs, **kwargs
+    )
 
 
 def install_patch() -> None:
@@ -121,33 +139,10 @@ def install_patch() -> None:
 
     @patch_function(original, [jnn])
     def _flash_sdpa(orig, query, key, value, bias=None, mask=None, **kwargs):
-        is_causal = kwargs.get("is_causal", False)
-        win_ok, window = _window_from_local(
-            kwargs.get("local_window_size"), is_causal
-        )
-        if (
-            not _supported(
-                bias,
-                mask,
-                kwargs.get("query_seq_lengths"),
-                kwargs.get("key_value_seq_lengths"),
-            )
-            or not win_ok
-            or kwargs.get("implementation") in ("xla", "cudnn")
-        ):
-            return orig(query, key, value, bias=bias, mask=mask, **kwargs)
-        q = jnp.swapaxes(query, 1, 2)
-        k = jnp.swapaxes(key, 1, 2)
-        v = jnp.swapaxes(value, 1, 2)
-        out = flash_attention(
-            q,
-            k,
-            v,
-            causal=is_causal,
-            sm_scale=kwargs.get("scale"),
-            window=window,
-        )
-        return jnp.swapaxes(out, 1, 2)
+        out = _try_flash(query, key, value, bias, mask, kwargs)
+        if out is not None:
+            return out
+        return orig(query, key, value, bias=bias, mask=mask, **kwargs)
 
 
 def uninstall_patch() -> None:

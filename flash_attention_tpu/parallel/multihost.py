@@ -13,7 +13,11 @@ cross-host analog to port — this replaces it wholesale).
 
 from __future__ import annotations
 
+import logging
+
 import jax
+
+logger = logging.getLogger(__name__)
 
 
 def initialize_multihost(
@@ -37,8 +41,10 @@ def initialize_multihost(
         # non-cluster environments.
         try:
             jax.distributed.initialize()
-        except Exception:
-            pass
+        except Exception as e:
+            # Expected off-cluster (no coordinator to auto-detect); logged so
+            # a real pod misconfiguration isn't silently swallowed.
+            logger.info("jax.distributed.initialize() not available: %s", e)
     return topology()
 
 
