@@ -177,11 +177,14 @@ def bench_decode(
     float(pre(params, prompt, cache))
     ttft_ms = (time.perf_counter() - t0) * 1e3
 
-    # warm all slots to ctx
-    for s in range(slots):
-        cache, _ = jax.jit(
-            lambda p, t, c, s: prefill(p, t, cfg, c, s)
-        )(params, prompt, cache, jnp.int32(s))
+    # Warm all slots to ctx by setting lengths directly: decode throughput
+    # reads `lengths`, not the (garbage) payloads, and per-slot prefill
+    # dispatches are serialized tunnel roundtrips (~30 ms each on axon).
+    import dataclasses
+
+    cache = dataclasses.replace(
+        cache, lengths=jnp.full((slots,), ctx, jnp.int32)
+    )
 
     loop = jax.jit(
         lambda p, c, t: decode_loop(
@@ -402,7 +405,8 @@ def main() -> None:
         for r in [
             bench_decode(),
             bench_decode(kv_quant_dtype=jnp.int8),
-            bench_decode(kv_quant_dtype=jnp.int8, attn_impl="paged"),
+            bench_decode(slots=32),
+            bench_decode(slots=32, kv_quant_dtype=jnp.int8),
         ]:
             print(
                 f"{r['config']:55s} {r['ms']:8.3f} ms/tok {r['tokens_per_s']:7.0f} tok/s "

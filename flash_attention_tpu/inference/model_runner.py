@@ -18,7 +18,11 @@ from ..kernels.flash_attention import flash_attention
 from ..models.gpt import GPTConfig, _layer_norm
 from ..quant.weights import QuantizedTensor, quantized_matmul
 from . import kv_cache as kvc
-from .decode_attention import decode_attention, decode_attention_paged
+from .decode_attention import (
+    decode_attention,
+    decode_attention_fused,
+    decode_attention_paged,
+)
 
 
 def _matmul(x, w, b=None):
@@ -98,14 +102,17 @@ def decode_step(
 
     Inactive slots compute garbage (static shapes); `active` [slots] bool
     gates their length advance so stale slots don't creep; the scheduler
-    discards their logits.  attn_impl: "einsum" (fused XLA pass over the
-    whole cache) or "paged" (Pallas kernel, length-adaptive page reads).
+    discards their logits.  attn_impl: "fused" (slot-major Pallas kernel,
+    length-adaptive reads + fused dequant — the production path), "einsum"
+    (fused XLA pass over the whole cache) or "paged" (paged-cache kernel).
     """
     s = cache.slots
     d, h, hkv = cfg.head_dim, cfg.n_head, cfg.kv_heads
-    attend = (
-        decode_attention if attn_impl == "einsum" else decode_attention_paged
-    )
+    attend = {
+        "einsum": decode_attention,
+        "paged": decode_attention_paged,
+        "fused": decode_attention_fused,
+    }[attn_impl]
     # Clamp to CACHE capacity (may differ from cfg.block_size), and stop
     # advancing lengths at max_len so a full slot degrades to overwriting
     # its last entry instead of silently corrupting the valid-length mask.

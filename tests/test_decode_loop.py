@@ -35,3 +35,50 @@ def test_decode_loop_matches_stepwise():
     c2, toks2 = decode_loop(params, CFG, cache, first, 5)
     assert (toks1 == toks2).all(), (toks1, toks2)
     assert (c1.lengths == c2.lengths).all()
+
+
+def test_decode_attention_fused_matches_einsum():
+    """Fused-heads slot-major kernel vs the einsum reference across MHA/GQA,
+    head_dim 64/128, bf16/int8 caches and ragged lengths."""
+    import dataclasses
+
+    from flash_attention_tpu.inference import kv_cache as kvc
+    from flash_attention_tpu.inference.decode_attention import (
+        decode_attention, decode_attention_fused,
+    )
+
+    for hq, hkv, d, quant in [
+        (12, 12, 64, None),
+        (12, 12, 64, jnp.int8),
+        (8, 8, 128, None),
+        (8, 2, 128, jnp.int8),
+        (8, 4, 64, jnp.int8),
+    ]:
+        s, ll = 4, 256
+        cache = init_cache(2, s, hkv, ll, d, dtype=jnp.bfloat16, quant_dtype=quant)
+        for t in range(130):
+            kt = jax.random.normal(jax.random.PRNGKey(100 + t), (s, hkv, d), jnp.bfloat16)
+            vt = jax.random.normal(jax.random.PRNGKey(200 + t), (s, hkv, d), jnp.bfloat16)
+            cache = kvc.decode_write(cache, 1, kt, vt, jnp.full((s,), t, jnp.int32))
+        cache = dataclasses.replace(
+            cache, lengths=jnp.asarray([129, 64, 1, 127], jnp.int32)
+        )
+        q = jax.random.normal(jax.random.PRNGKey(7), (s, hq, d), jnp.bfloat16)
+        ref = decode_attention(q, cache, 1)
+        out = decode_attention_fused(q, cache, 1, block=128)
+        err = float(
+            jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))
+        )
+        assert err <= 3e-2, (hq, hkv, d, quant, err)
+
+
+def test_decode_loop_fused_impl_matches_einsum_impl():
+    params = gpt.init_params(jax.random.PRNGKey(0), CFG)
+    cache = init_cache(CFG.n_layer, 2, CFG.kv_heads, 128, CFG.head_dim, dtype=CFG.dtype)
+    prompt = jnp.asarray([1, 2, 3, 4], jnp.int32)
+    cache, logits = prefill(params, prompt, CFG, cache, jnp.int32(0))
+    cache, _ = prefill(params, prompt, CFG, cache, jnp.int32(1))
+    first = jnp.full((2,), int(jnp.argmax(logits)), jnp.int32)
+    _, toks_e = decode_loop(params, CFG, cache, first, 5, attn_impl="einsum")
+    _, toks_f = decode_loop(params, CFG, cache, first, 5, attn_impl="fused")
+    assert (toks_e == toks_f).all(), (toks_e, toks_f)

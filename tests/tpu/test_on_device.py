@@ -299,3 +299,33 @@ def test_paged_decode_head_dim_64(quant):
         k_scales=kscale, v_scales=vscale,
     )
     assert _maxerr(out, ref) <= 3e-2
+
+
+@pytest.mark.parametrize(
+    "hq,hkv,d,quant",
+    [(12, 12, 64, None), (12, 12, 64, jnp.int8), (8, 2, 128, jnp.int8)],
+)
+def test_decode_attention_fused(hq, hkv, d, quant):
+    """Slot-major fused-heads decode kernel on hardware: block-diagonal
+    single-matmul design, lane packing, ragged lengths, quant scales."""
+    import dataclasses
+
+    from flash_attention_tpu.inference import init_cache
+    from flash_attention_tpu.inference import kv_cache as kvc
+    from flash_attention_tpu.inference.decode_attention import (
+        decode_attention, decode_attention_fused,
+    )
+
+    s, ll = 4, 1024
+    cache = init_cache(2, s, hkv, ll, d, dtype=jnp.bfloat16, quant_dtype=quant)
+    for t in range(130):
+        kt = jax.random.normal(jax.random.PRNGKey(100 + t), (s, hkv, d), jnp.bfloat16)
+        vt = jax.random.normal(jax.random.PRNGKey(200 + t), (s, hkv, d), jnp.bfloat16)
+        cache = kvc.decode_write(cache, 1, kt, vt, jnp.full((s,), t, jnp.int32))
+    cache = dataclasses.replace(
+        cache, lengths=jnp.asarray([129, 64, 1, 127], jnp.int32)
+    )
+    q = jax.random.normal(jax.random.PRNGKey(7), (s, hq, d), jnp.bfloat16)
+    ref = decode_attention(q, cache, 1)
+    out = jax.jit(lambda q, c: decode_attention_fused(q, c, 1))(q, cache)
+    assert _maxerr(out, ref) <= 3e-2
