@@ -145,12 +145,18 @@ def default_blocks(
     Measured on v5e: (1024, 1024) is the forward sweet spot at D=128
     (68 TF/s vs 65 at (512,1024) and 44 at (512,512)).  The q block shrinks
     with the GQA group so the fp32 scores tile (group*block_q, block_kv)
-    stays ~4 MB of VMEM.  The reference's auto_num_chunks heuristic remains
-    the contract for the chunk-count API (blocks_from_chunks), not for this.
+    stays ~4 MB of VMEM.  At 32k+ context a 2048 KV tile wins instead
+    (measured: 150 vs 145 TF/s at L=64k, 133 vs 131 at 32k; it LOSES at
+    4k, 58 vs 66, where the diagonal-tile causal waste dominates) — but
+    only while the fp32 scores tile stays <= 8 MB.  The reference's
+    auto_num_chunks heuristic remains the contract for the chunk-count API
+    (blocks_from_chunks), not for this.
     """
     bq = _clamp_pow2(1024 // max(group, 1), MIN_BLOCK, MAX_BLOCK_Q)
     bq = min(bq, _round_up_128(q_len))
     bkv = min(MAX_BLOCK_KV, _round_up_128(kv_len))
+    if kv_len >= 32768 and bq * max(group, 1) <= 1024:
+        bkv = 2048
     return BlockSizes(block_q=bq, block_kv=bkv)
 
 
