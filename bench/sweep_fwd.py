@@ -57,9 +57,10 @@ def main():
     flops = 4 * b * h * l * l * d * (0.5 if causal else 1.0)
     for cfg in args.configs.split(";"):
         bq, bkv, inner = map(int, cfg.split(","))
-        bs = BlockSizes(
-            block_q=bq, block_kv=bkv, block_kv_inner=inner or None
-        )
+        if inner:
+            print(f"bq={bq} bkv={bkv} inner={inner}: SKIP (two-level tiling removed; measured worse)")
+            continue
+        bs = BlockSizes(block_q=bq, block_kv=bkv)
         f = functools.partial(
             flash_attention, causal=causal, block_sizes=bs
         )

@@ -34,10 +34,6 @@ class BlockSizes:
 
     block_q: int = 128
     block_kv: int = 128
-    # Forward two-level tiling: the kernel loads block_kv columns from HBM
-    # per grid step but processes block_kv_inner at a time (None = single
-    # level).  Lets HBM transfer size and VPU tile size tune independently.
-    block_kv_inner: int | None = None
     # Backward pass tiles (dKV kernel iterates q inside kv; dQ the reverse).
     block_q_dkv: int | None = None
     block_kv_dkv: int | None = None

@@ -309,53 +309,46 @@ def _fwd_kernel(
         l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
         acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
-    bkv_in = params.blocks.block_kv_inner or bkv
-    n_inner = bkv // bkv_in
-
     def body(causal_mask: bool, kv_mask: bool):
         # q arrives pre-scaled by sm_scale*log2(e) (host-side, fused into the
         # padding copy) — the kernel runs entirely in the exp2 domain.
+        # (A two-level kv tiling — sub-tile loop inside the bkv block, meant
+        # to overlap sub-tile QK^T with the previous sub-tile's softmax —
+        # was implemented and swept on v5e: 42-34 TF/s vs 63 single-level at
+        # the headline shape.  Mosaic does not interleave the streams, so
+        # the split only adds per-sub-tile reduction overhead; removed.)
         q = q_ref[0].reshape(rows, d)
-        # Two-level tiling: the BlockSpec streams a bkv-sized major tile from
-        # HBM; the unrolled inner loop works bkv_in columns at a time so the
-        # next sub-tile's QK^T matmul overlaps this sub-tile's softmax VPU
-        # work (the MXU/VPU pipelining the single big tile serializes).
-        for t in range(n_inner):
-            cols = pl.ds(t * bkv_in, bkv_in)
-            k = k_ref[0, cols, :]
-            # s = q @ k^T  "attn_ij = q_i @ k_j.T" (cf. …cpp:254)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_mm_precision(q.dtype),
-            )
-            mask = _mask_for_block(
-                params, i, j * bkv + t * bkv_in, rows, bq, bkv_in,
-                causal=causal_mask, kv_mask=kv_mask,
-            )
-            if mask is not None:
-                s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
-            if params.segmented:
-                seg = _seg_mask(
-                    qseg_ref, kvseg_ref, t * bkv_in, bkv_in, group, bq
-                )
-                s = s + jnp.where(seg, 0.0, DEFAULT_MASK_VALUE)
+        # s = q @ k^T  "attn_ij = q_i @ k_j.T" (cf. …cpp:254)
+        s = jax.lax.dot_general(
+            q, k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mm_precision(q.dtype),
+        )
+        mask = _mask_for_block(
+            params, i, j * bkv, rows, bq, bkv,
+            causal=causal_mask, kv_mask=kv_mask,
+        )
+        if mask is not None:
+            s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+        if params.segmented:
+            seg = _seg_mask(qseg_ref, kvseg_ref, 0, bkv, group, bq)
+            s = s + jnp.where(seg, 0.0, DEFAULT_MASK_VALUE)
 
-            m_prev = m_scr[...]  # (rows, 128), lane-replicated
-            l_prev = l_scr[...]
-            m_curr = jnp.max(s, axis=-1, keepdims=True)  # (rows, 1)
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp2(m_prev - m_next)  # correction c = exp(m_i - m_new)
-            p = jnp.exp2(s - m_next[:, 0:1])
-            l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-            m_scr[...] = m_next
-            l_scr[...] = l_next
-            # o_i = c * o_i + attn_ij @ v_j (unnormalized; one final divide)
-            acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + jax.lax.dot(
-                p.astype(v_ref.dtype), v_ref[0, cols, :],
-                preferred_element_type=jnp.float32,
-                precision=_mm_precision(v_ref.dtype),
-            )
+        m_prev = m_scr[...]  # (rows, 128), lane-replicated
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)  # (rows, 1)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)  # correction c = exp(m_i - m_new)
+        p = jnp.exp2(s - m_next[:, 0:1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+        # o_i = c * o_i + attn_ij @ v_j (unnormalized; one final divide)
+        acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + jax.lax.dot(
+            p.astype(v_ref.dtype), v_ref[0],
+            preferred_element_type=jnp.float32,
+            precision=_mm_precision(v_ref.dtype),
+        )
 
     if ncells is None:
         _dispatch_block(params, i, j, bq, bkv, nj, kv_padded, body)
@@ -1089,12 +1082,6 @@ def flash_attention(
         block_q=min(block_sizes.block_q, _round_up(lq, MIN_BLOCK)),
         block_kv=min(block_sizes.block_kv, _round_up(lk, MIN_BLOCK)),
     )
-    if (
-        block_sizes.block_kv_inner
-        and block_sizes.block_kv % block_sizes.block_kv_inner
-    ):
-        block_sizes = dataclasses.replace(block_sizes, block_kv_inner=None)
-
     # Pad to the forward block multiples (differentiable; grads of pads are
     # slices), then pin every backward block to a divisor of the padded
     # lengths so both the forward and backward grids cover all rows exactly

@@ -188,10 +188,12 @@ def forward(
                 rngs[2 + 2 * li], deterministic,
             )
     x = _layer_norm(x, params["lnf"])
-    # weight-tied lm head, logits in fp32 for a stable softmax
-    return jnp.einsum(
-        "bte,ve->btv", x, params["wte"].astype(x.dtype)
-    ).astype(jnp.float32)
+    # Weight-tied lm head.  Logits stay in the model dtype: the loss casts
+    # to fp32 only inside its reductions, so bf16 training keeps a bf16
+    # d_logits and the two 633-GFLOP lm-head backward matmuls run in native
+    # bf16 MXU passes (an fp32 logits cast here forced them to fp32 passes
+    # — measured ~15% of the whole train step).
+    return jnp.einsum("bte,ve->btv", x, params["wte"].astype(x.dtype))
 
 
 def loss_fn(
@@ -203,11 +205,22 @@ def loss_fn(
     rng: jax.Array | None = None,
     deterministic: bool = True,
 ) -> jax.Array:
-    """Mean cross-entropy next-token loss (nanoGPT's objective)."""
+    """Mean cross-entropy next-token loss (nanoGPT's objective).
+
+    Computed as logsumexp(logits) - logits[target] rather than through
+    jax.nn.log_softmax: the full [B, T, vocab] fp32 log-prob tensor
+    (1.65 GB at the GPT-2 train shape) is never materialized — the fp32
+    cast fuses into the reductions.  Measured: -9% train step time.
+    """
     logits = forward(params, idx, cfg, rng=rng, deterministic=deterministic)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    return -jnp.mean(ll)
+    # Max-stabilized logsumexp with the fp32 cast INSIDE (fuses into the
+    # exp/sum elementwise pipeline; d_logits stays in the model dtype).
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    lse = m[..., 0].astype(jnp.float32) + jnp.log(
+        jnp.sum(jnp.exp((logits - m).astype(jnp.float32)), axis=-1)
+    )
+    picked = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(lse - picked.astype(jnp.float32))
 
 
 def generate(
@@ -228,7 +241,8 @@ def generate(
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     for _ in range(max_new_tokens):
         ctx = idx[:, -cfg.block_size :]
-        logits = forward(params, ctx, cfg)[:, -1, :] / max(temperature, 1e-6)
+        logits = forward(params, ctx, cfg)[:, -1, :].astype(jnp.float32)
+        logits = logits / max(temperature, 1e-6)
         if top_k is not None:
             kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
             logits = jnp.where(logits < kth, -jnp.inf, logits)
