@@ -5,12 +5,24 @@ communication backend") replacing the reference's implicit PopTorch/GCL
 replication.
 """
 
+from .inference_tp import (
+    cache_specs,
+    llama_param_specs,
+    shard_llama_for_inference,
+    tp_decode_loop,
+    tp_prefill,
+)
 from .mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS, batch_sharding, make_mesh, replicated
 from .multihost import assert_same_across_hosts, initialize_multihost, topology
 from .ring_attention import head_parallel_attention, ring_attention
 from .sharding import gpt_param_sharding, gpt_param_specs, shard_params
 
 __all__ = [
+    "cache_specs",
+    "llama_param_specs",
+    "shard_llama_for_inference",
+    "tp_decode_loop",
+    "tp_prefill",
     "DATA_AXIS",
     "MODEL_AXIS",
     "SEQ_AXIS",

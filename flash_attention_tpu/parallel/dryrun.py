@@ -77,9 +77,39 @@ def dryrun_train_step(n_devices: int) -> None:
     assert out.shape == q.shape
     zerr = float(jnp.max(jnp.abs(out - out_z)))
     assert zerr < 1e-4, f"zigzag mismatch {zerr}"
+
+    # Tensor-parallel SERVING: llama prefill + decode_loop with params
+    # column/row-sharded and the KV cache sharded over kv heads.
+    from ..inference import init_cache
+    from ..models import llama
+    from .inference_tp import (
+        shard_llama_for_inference, tp_decode_loop, tp_prefill,
+    )
+
+    lcfg = llama.LlamaConfig(
+        vocab_size=64, n_layer=2, n_head=tp, n_kv_head=tp,
+        n_embd=tp * 16, intermediate=tp * 32, max_seq=64,
+        dtype=jnp.float32,
+    )
+    lparams = llama.init_params(jax.random.PRNGKey(3), lcfg)
+    tp_mesh = make_mesh(model=tp, devices=devices[:tp])
+    lcache = init_cache(
+        lcfg.n_layer, 2, lcfg.n_kv_head, lcfg.max_seq, lcfg.head_dim,
+        dtype=lcfg.dtype,
+    )
+    lparams, lcache = shard_llama_for_inference(lparams, lcache, tp_mesh)
+    prompt = jnp.asarray([3, 1, 4, 1, 5], jnp.int32)
+    lcache, logits = tp_prefill(
+        lparams, prompt, lcfg, lcache, jnp.int32(0), tp_mesh
+    )
+    first = jnp.full((2,), jnp.argmax(logits), jnp.int32)
+    lcache, toks = tp_decode_loop(lparams, lcfg, lcache, first, 3, tp_mesh)
+    jax.block_until_ready(toks)
+
     print(
         f"dryrun ok: dp={dp} tp={tp} train-step loss={float(loss):.4f}; "
         f"ring attention over seq={n_devices} at L={l} "
         f"(overlapped ppermute; zigzag balanced schedule matches: "
-        f"max|diff|={zerr:.2e})"
+        f"max|diff|={zerr:.2e}); tp={tp} llama serving decode ran "
+        f"({toks.shape[0]} steps, cache sharded over kv heads)"
     )

@@ -191,3 +191,64 @@ def test_ring_attention_zigzag_grad():
             np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-4,
             err_msg=f"d{name}",
         )
+
+
+def test_tp_inference_matches_single_device():
+    """Tensor-parallel llama serving on a 4-way model mesh: prefill +
+    decode_loop must produce the same tokens as the unsharded path, with
+    params column/row-sharded and the KV cache sharded over kv heads."""
+    from flash_attention_tpu.inference import init_cache
+    from flash_attention_tpu.models import llama
+    from flash_attention_tpu.parallel import (
+        make_mesh, shard_llama_for_inference, tp_decode_loop, tp_prefill,
+    )
+
+    cfg = llama.LlamaConfig(
+        vocab_size=64, n_layer=2, n_head=4, n_kv_head=4, n_embd=32,
+        intermediate=64, max_seq=64, dtype=jnp.float32,
+    )
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    slots = 2
+
+    def fresh_cache():
+        return init_cache(
+            cfg.n_layer, slots, cfg.n_kv_head, cfg.max_seq, cfg.head_dim,
+            dtype=cfg.dtype,
+        )
+
+    prompt = jnp.asarray([3, 1, 4, 1, 5], jnp.int32)
+
+    # single-device reference
+    c0 = fresh_cache()
+    c0, logits0 = llama.prefill(params, prompt, cfg, c0, jnp.int32(0))
+    c0, _ = llama.prefill(params, prompt, cfg, c0, jnp.int32(1))
+    first = jnp.full((slots,), int(jnp.argmax(logits0)), jnp.int32)
+    _, toks_ref = llama.decode_loop(params, cfg, c0, first, 6)
+
+    # 4-way tensor parallel
+    mesh = make_mesh(model=4)
+    pp, cc = shard_llama_for_inference(params, fresh_cache(), mesh)
+    cc, logits_tp = tp_prefill(pp, prompt, cfg, cc, jnp.int32(0), mesh)
+    cc, _ = tp_prefill(pp, prompt, cfg, cc, jnp.int32(1), mesh)
+    assert int(jnp.argmax(logits_tp)) == int(first[0])
+    cc2, toks_tp = tp_decode_loop(pp, cfg, cc, first, 6, mesh)
+    np.testing.assert_array_equal(np.asarray(toks_ref), np.asarray(toks_tp))
+
+    # the updated cache must still be sharded over kv heads
+    shard_shapes = {s.data.shape for s in cc2.k.addressable_shards}
+    assert all(sh[1] == cfg.n_kv_head // 4 for sh in shard_shapes), shard_shapes
+
+
+def test_tp_inference_rejects_indivisible_heads():
+    from flash_attention_tpu.inference import init_cache
+    from flash_attention_tpu.models import llama
+    from flash_attention_tpu.parallel import make_mesh, shard_llama_for_inference
+
+    cfg = llama.LlamaConfig(
+        vocab_size=64, n_layer=1, n_head=3, n_kv_head=3, n_embd=24,
+        intermediate=48, max_seq=64, dtype=jnp.float32,
+    )
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    cache = init_cache(1, 1, 3, 64, cfg.head_dim, dtype=cfg.dtype)
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_llama_for_inference(params, cache, make_mesh(model=4))
