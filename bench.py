@@ -261,8 +261,8 @@ def bench_engine(
     }
 
 
-def _synthetic_llama_int8(cfg, key):
-    """Llama params with projections generated directly as int8+scales
+def _synthetic_llama_quant(cfg, key, bits=8):
+    """Llama params with projections generated directly as int8/int4+scales
     (no fp32 staging: a real 7B would need 27 GB host RAM otherwise)."""
     from flash_attention_tpu.quant.weights import QuantizedTensor
 
@@ -270,6 +270,13 @@ def _synthetic_llama_int8(cfg, key):
     keys = iter(jax.random.split(key, 4 + 8 * cfg.n_layer))
 
     def qlin(fan_in, fan_out):
+        if bits == 4:
+            # nibble-packed: two 4-bit values per byte
+            vals = jax.random.randint(
+                next(keys), (fan_in, fan_out // 2), -128, 128, jnp.int8
+            )
+            scales = jnp.full((fan_out,), 0.02 / 7.0, jnp.float32)
+            return QuantizedTensor(vals, scales, 4, fan_out)
         vals = jax.random.randint(
             next(keys), (fan_in, fan_out), -127, 128, jnp.int8
         )
@@ -300,14 +307,16 @@ def _synthetic_llama_int8(cfg, key):
     }
 
 
-def bench_llama(slots=4, ctx=1024, max_len=2048, steps=16) -> dict:
-    """Llama-2 7B-class, INT8 weights + INT8 KV cache, prefill TTFT +
-    decode tokens/s on one chip (BASELINE.json config 4, single-chip cut)."""
+def bench_llama(slots=4, ctx=1024, max_len=2048, steps=16, bits=8) -> dict:
+    """Llama-2 7B-class, INT8 (or nibble-packed INT4) weights + INT8 KV
+    cache, prefill TTFT + decode tokens/s on one chip (BASELINE.json
+    config 4, single-chip cut).  Decode is weight-bandwidth-bound, so INT4
+    halves the HBM stream per step."""
     from flash_attention_tpu.inference import init_cache
     from flash_attention_tpu.models import llama
 
     cfg = llama.LLAMA2_7B
-    params = _synthetic_llama_int8(cfg, jax.random.PRNGKey(0))
+    params = _synthetic_llama_quant(cfg, jax.random.PRNGKey(0), bits=bits)
     cache = init_cache(
         cfg.n_layer, slots, cfg.n_kv_head, max_len, cfg.head_dim,
         dtype=cfg.dtype, quant_dtype=jnp.int8,
@@ -329,7 +338,7 @@ def bench_llama(slots=4, ctx=1024, max_len=2048, steps=16) -> dict:
     first = jnp.zeros((slots,), jnp.int32)
     dt = _timeit(loop, params, cache, first, iters=3)
     return {
-        "config": f"llama7B int8-w int8-kv slots{slots} ctx{ctx}",
+        "config": f"llama7B int{bits}-w int8-kv slots{slots} ctx{ctx}",
         "ms": dt / steps * 1e3,
         "tokens_per_s": slots * steps / dt,
         "ttft_ms": ttft_ms,

@@ -30,7 +30,7 @@ import numpy as np
 
 from ..models.gpt import GPTConfig
 from . import kv_cache as kvc
-from .model_runner import decode_step, prefill
+from .model_runner import decode_step, prefill, prefill_chunk
 from .sampling import sample, sample_tokens
 
 
@@ -79,6 +79,8 @@ class InferenceEngine:
         prefill_fn=None,
         decode_fn=None,
         scan_steps: int = 8,
+        chunk_prefill: int | None = None,
+        prefill_chunk_fn=None,
     ):
         """cfg: a GPTConfig (default architecture) or any config whose
         (n_layer, head_dim, dtype) fields exist; for non-GPT architectures
@@ -90,7 +92,15 @@ class InferenceEngine:
         loop runs `scan_steps` steps under one lax.scan (sampling included,
         per-slot temperature/top_k), so per-token cost approaches the raw
         decode_loop kernel; the host syncs, retires finished requests, and
-        admits new ones only between scans.  1 restores per-token stepping."""
+        admits new ones only between scans.  1 restores per-token stepping.
+
+        chunk_prefill: when set, prompts longer than this are admitted in
+        chunk_prefill-token chunks interleaved with decode scans (vLLM-style
+        chunked prefill), so one long prompt no longer head-of-line blocks
+        every running stream.  The traced chunk start means ONE compile
+        serves every chunk of every prompt.  Non-GPT architectures need a
+        matching `prefill_chunk_fn(params, tokens, cfg, cache, slot, start,
+        length)`."""
         self.params = params
         self.cfg = cfg
         self.slots = slots
@@ -144,8 +154,23 @@ class InferenceEngine:
             return cache, toks, rng
 
         self._decode_scan = jax.jit(_scan, static_argnums=(7,))
+        self.chunk_prefill = chunk_prefill
+        _chunk_impl = prefill_chunk_fn or (
+            prefill_chunk if prefill_fn is None else None
+        )
+        if chunk_prefill is not None and _chunk_impl is None:
+            raise ValueError(
+                "chunk_prefill with a custom prefill_fn needs prefill_chunk_fn"
+            )
+        if _chunk_impl is not None:
+            self._prefill_chunk = jax.jit(
+                lambda p, toks, cache, slot, start, n: _chunk_impl(
+                    p, toks, cfg, cache, slot, start, n
+                )
+            )
         self.queue: deque[Request] = deque()
         self.running: dict[int, Request] = {}  # slot -> request
+        self.prefilling: dict[int, list] = {}  # slot -> [request, next_pos]
         self.finished: list[Request] = []
         # Device-resident per-slot decode state: every host->device transfer
         # costs a full dispatch latency (measured ~3-5 ms each through the
@@ -186,7 +211,7 @@ class InferenceEngine:
 
     def run(self, progress: Callable[[dict], None] | None = None) -> list[Request]:
         """Drive until queue + running are drained; returns finished requests."""
-        while self.queue or self.running:
+        while self.queue or self.running or self.prefilling:
             self.step()
             if progress:
                 progress(self.stats)
@@ -194,6 +219,7 @@ class InferenceEngine:
 
     def step(self) -> None:
         self._admit()
+        self._advance_prefills()
         if self.running:
             self._decode_all()
 
@@ -206,7 +232,11 @@ class InferenceEngine:
         raise ValueError(f"prompt length {n} exceeds max_len {self.max_len}")
 
     def _admit(self) -> None:
-        free = [s for s in range(self.slots) if s not in self.running]
+        free = [
+            s
+            for s in range(self.slots)
+            if s not in self.running and s not in self.prefilling
+        ]
         while free and self.queue:
             slot = free.pop(0)
             req = self.queue.popleft()
@@ -214,6 +244,10 @@ class InferenceEngine:
             if n >= self.max_len:
                 req.prompt = req.prompt[-(self.max_len - 1) :]
                 n = len(req.prompt)
+            if self.chunk_prefill is not None and n > self.chunk_prefill:
+                # long prompt: admit incrementally, one chunk per step
+                self.prefilling[slot] = [req, 0]
+                continue
             bucket = self._bucket_len(n)
             toks = np.zeros((bucket,), np.int32)
             toks[:n] = req.prompt
@@ -241,6 +275,46 @@ class InferenceEngine:
                 req.finish_time = time.time()
                 self.finished.append(req)
                 free.insert(0, slot)
+            else:
+                self.running[slot] = req
+
+    def _advance_prefills(self) -> None:
+        """Process one chunk for every prefilling slot, then decode resumes;
+        a finished prompt samples its first token and joins the running set.
+        """
+        for slot in list(self.prefilling):
+            req, pos = self.prefilling[slot]
+            c = self.chunk_prefill
+            n = len(req.prompt)
+            valid = min(c, n - pos)
+            toks = np.full((c,), req.prompt[-1], np.int32)
+            toks[:valid] = req.prompt[pos : pos + valid]
+            self.cache, logits = self._prefill_chunk(
+                self.params,
+                jnp.asarray(toks),
+                self.cache,
+                jnp.int32(slot),
+                jnp.int32(pos),
+                jnp.int32(valid),
+            )
+            pos += valid
+            self.stats["prefill_chunks"] = self.stats.get("prefill_chunks", 0) + 1
+            if pos < n:
+                self.prefilling[slot][1] = pos
+                continue
+            del self.prefilling[slot]
+            tok = self._sample_one(logits, req)
+            req.first_token_time = time.time()
+            req.output.append(int(tok))
+            self._next_tokens_dev = self._next_tokens_dev.at[slot].set(tok)
+            self._slot_cfg = None
+            self.stats["prefills"] += 1
+            self.stats["tokens_out"] += 1
+            if (req.eos_id is not None and int(tok) == req.eos_id) or (
+                req.max_new_tokens <= 1
+            ):
+                req.finish_time = time.time()
+                self.finished.append(req)
             else:
                 self.running[slot] = req
 

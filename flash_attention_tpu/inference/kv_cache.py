@@ -118,6 +118,35 @@ def prefill_write(
     return KVCache(k, v, ks, vs, cache.lengths)
 
 
+def chunk_write(
+    cache: KVCache,
+    layer: int,
+    slot: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    start: jax.Array,
+) -> KVCache:
+    """Write a chunk of C tokens into one slot at position `start`
+    (chunked prefill: k_new/v_new [kv_heads, C, head_dim], start traced).
+    """
+    if cache.quantized:
+        k_pay, k_sc = _quantize_tokens(k_new, cache.k.dtype)
+        v_pay, v_sc = _quantize_tokens(v_new, cache.v.dtype)
+    else:
+        k_pay, v_pay = k_new.astype(cache.k.dtype), v_new.astype(cache.v.dtype)
+        k_sc = v_sc = None
+    zero = jnp.int32(0)
+    at = (jnp.int32(layer), zero, slot, jnp.int32(start), zero)
+    k = jax.lax.dynamic_update_slice(cache.k, k_pay[None, :, None], at)
+    v = jax.lax.dynamic_update_slice(cache.v, v_pay[None, :, None], at)
+    ks = vs = None
+    if cache.quantized:
+        at4 = at[:-1]
+        ks = jax.lax.dynamic_update_slice(cache.k_scale, k_sc[None, :, None], at4)
+        vs = jax.lax.dynamic_update_slice(cache.v_scale, v_sc[None, :, None], at4)
+    return KVCache(k, v, ks, vs, cache.lengths)
+
+
 def decode_write(
     cache: KVCache,
     layer: int,

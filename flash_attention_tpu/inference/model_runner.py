@@ -89,6 +89,86 @@ def prefill(
     return cache, logits
 
 
+def _chunk_attention(q, cache, layer, slot, start):
+    """Dense attention of a prompt chunk against its slot's cached prefix
+    plus itself (already written): q [1, Hq, C, D]; row c of the chunk sits
+    at absolute position start + c and sees cache entries [0, start + c].
+
+    Dense is the right tool here: C x max_len scores are small (chunks are
+    a few hundred tokens) and the visibility offset `start` is traced,
+    which the static-shape flash grid cannot express.
+    """
+    _, hq, c, d = q.shape
+    hkv = cache.kv_heads
+    group = hq // hkv
+    q4 = q[0].reshape(hkv, group, c, d) * (float(d) ** -0.5)
+    k, v = cache.k[layer][:, slot], cache.v[layer][:, slot]  # [hkv, L, D]
+    scores = jnp.einsum(
+        "hgcd,hld->hgcl", q4, k.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if cache.quantized:
+        scores = scores * cache.k_scale[layer][:, slot][:, None, None, :]
+    row = jnp.arange(c)[:, None]
+    col = jnp.arange(cache.max_len)[None, :]
+    visible = col <= start + row  # [C, L]
+    from ..kernels.vanilla import DEFAULT_MASK_VALUE
+
+    scores = jnp.where(visible[None, None], scores, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(scores, axis=-1)
+    if cache.quantized:
+        p = p * cache.v_scale[layer][:, slot][:, None, None, :]
+    out = jnp.einsum(
+        "hgcl,hld->hgcd", p.astype(q.dtype), v.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(1, hq, c, d).astype(q.dtype)
+
+
+def prefill_chunk(
+    params,
+    tokens: jax.Array,
+    cfg: GPTConfig,
+    cache: kvc.KVCache,
+    slot: jax.Array,
+    start: jax.Array,
+    length: jax.Array | None = None,
+) -> tuple[kvc.KVCache, jax.Array]:
+    """Chunked prefill: process tokens [C] at positions start..start+C-1.
+
+    Long prompts are admitted chunk by chunk (the scheduler interleaves
+    chunks with decode scans, so one long prompt no longer head-of-line
+    blocks every running stream — vLLM-style chunked prefill).  `start` is
+    traced: one compile serves every chunk.  `length` (valid tokens in
+    THIS chunk, < C only on the padded final chunk) picks the logits row
+    and the cache length, exactly like `prefill`.  Caller contract: earlier
+    chunks of this prompt have already been written (cache rows [0, start)).
+
+    Returns (cache, logits [vocab] at the chunk's last real token).
+    """
+    c = tokens.shape[0]
+    d, h, hkv = cfg.head_dim, cfg.n_head, cfg.kv_heads
+    positions = jnp.clip(start + jnp.arange(c), 0, cfg.block_size - 1)
+    x = (params["wte"][tokens] + params["wpe"][positions]).astype(cfg.dtype)[None]
+    for li, blk in enumerate(params["blocks"]):
+        xa = _layer_norm(x, blk["ln1"])
+        q, k, v = _qkv(xa, blk, cfg)
+        q = q.reshape(1, c, h, d).transpose(0, 2, 1, 3)
+        k = k.reshape(1, c, hkv, d).transpose(0, 2, 1, 3)
+        v = v.reshape(1, c, hkv, d).transpose(0, 2, 1, 3)
+        cache = kvc.chunk_write(cache, li, slot, k[0], v[0], start)
+        y = _chunk_attention(q, cache, li, slot, start)
+        y = y.transpose(0, 2, 1, 3).reshape(1, c, h * d)
+        x = x + _matmul(y, blk["attn"]["wo"], blk["attn"]["bo"])
+        x = x + _mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
+    x = _layer_norm(x, params["lnf"])
+    valid = jnp.int32(c) if length is None else length
+    last = jnp.take(x[0], valid - 1, axis=0)
+    logits = (last @ params["wte"].astype(x.dtype).T).astype(jnp.float32)
+    cache = kvc.set_length(cache, slot, start + valid)
+    return cache, logits
+
+
 def decode_step(
     params,
     tokens: jax.Array,

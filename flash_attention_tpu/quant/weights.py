@@ -48,8 +48,13 @@ def quantize_int8(w: jax.Array) -> QuantizedTensor:
 def quantize_int4(w: jax.Array) -> QuantizedTensor:
     """Symmetric per-output-channel int4, two values per int8 byte.
 
-    Packing is along the OUT dim: byte j holds columns 2j (low nibble) and
-    2j+1 (high nibble), offset-binary [-8, 7].
+    SPLIT-HALVES packing along the OUT dim: byte j holds column j in its
+    low nibble and column j + out/2 in its high nibble (offset-binary
+    [-8, 7]).  Unlike adjacent-column packing, unpacking never interleaves
+    lanes — each nibble extraction is a pure elementwise chain on the
+    packed buffer, so XLA fuses it straight into the matmul operand feed
+    (measured on v5e: adjacent packing's stack/reshape interleave
+    materialized the full bf16 weights per decode step, 10x slower).
     """
     w32 = w.astype(jnp.float32)
     out = w.shape[-1]
@@ -58,21 +63,25 @@ def quantize_int4(w: jax.Array) -> QuantizedTensor:
     amax = jnp.max(jnp.abs(w32), axis=0)
     scales = jnp.where(amax == 0, 1.0, amax / 7.0)
     q = jnp.clip(jnp.round(w32 / scales), -8, 7).astype(jnp.int8)
-    lo = q[:, 0::2] & 0x0F
-    hi = (q[:, 1::2] & 0x0F) << 4
+    half = out // 2
+    lo = q[:, :half] & 0x0F
+    hi = (q[:, half:] & 0x0F) << 4
     return QuantizedTensor((lo | hi).astype(jnp.int8), scales, 4, out)
+
+
+def _unpack_int4(packed: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(cols [0, out/2), cols [out/2, out)) as int8 from split-halves bytes."""
+    lo = ((packed & 0x0F) ^ 0x08).astype(jnp.int8) - 8
+    hi = (((packed >> 4) & 0x0F) ^ 0x08).astype(jnp.int8) - 8
+    return lo, hi
 
 
 def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     if qt.bits == 8:
         w = qt.values.astype(jnp.float32)
     elif qt.bits == 4:
-        packed = qt.values
-        # sign-extend 4-bit two's complement from each nibble
-        lo = ((packed & 0x0F) ^ 0x08).astype(jnp.int8) - 8
-        hi = (((packed >> 4) & 0x0F) ^ 0x08).astype(jnp.int8) - 8
-        w = jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], qt.out_features)
-        w = w.astype(jnp.float32)
+        lo, hi = _unpack_int4(qt.values)
+        w = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
     else:
         raise ValueError(f"unsupported bits {qt.bits}")
     return (w * qt.scales).astype(dtype)
@@ -81,9 +90,25 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
 def quantized_matmul(
     x: jax.Array, qt: QuantizedTensor, *, bias: jax.Array | None = None
 ) -> jax.Array:
-    """x @ dequant(w) (+ bias).  XLA fuses the dequant into the matmul feed."""
-    w = dequantize(qt, dtype=x.dtype)
-    y = x @ w
+    """x @ dequant(w) (+ bias).  XLA fuses the dequant into the matmul feed.
+
+    int4 runs as two half-width matmuls (one per nibble half) so each
+    operand is an elementwise chain on the packed bytes — no interleave op
+    between the HBM read and the MXU.
+    """
+    if qt.bits == 4:
+        half = qt.out_features // 2
+        lo, hi = _unpack_int4(qt.values)
+        sc = qt.scales.astype(x.dtype)
+        y = jnp.concatenate(
+            [
+                (x @ lo.astype(x.dtype)) * sc[:half],
+                (x @ hi.astype(x.dtype)) * sc[half:],
+            ],
+            axis=-1,
+        )
+    else:
+        y = x @ dequantize(qt, dtype=x.dtype)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y

@@ -133,3 +133,77 @@ def test_decode_stops_advancing_at_capacity(params):
     tok = jnp.zeros((1,), jnp.int32)
     cache, _ = decode_step(params, tok, CFG, cache)
     assert int(cache.lengths[0]) == 255  # clamped, not 256
+
+
+def test_engine_chunked_prefill_matches_full(params):
+    """Long prompts admitted chunk-by-chunk (vLLM-style) must generate the
+    same greedy tokens as whole-prompt admission, and chunks must interleave
+    with decode (the running stream keeps generating between chunks)."""
+    from flash_attention_tpu.inference.engine import InferenceEngine
+
+    prompts = [
+        [1, 2, 3] * 9,          # 27 tokens -> 4 chunks of 8
+        [5, 4, 3, 2, 1],        # short -> normal bucket admission
+        list(range(1, 22)),     # 21 tokens -> 3 chunks
+    ]
+
+    def run(chunk):
+        eng = InferenceEngine(
+            params, CFG, slots=2, max_len=64,
+            scan_steps=2, chunk_prefill=chunk,
+        )
+        for p in prompts:
+            eng.submit(p, max_new_tokens=6)
+        done = eng.run()
+        return {r.uid: r.output for r in done}, eng.stats
+
+    out_full, _ = run(None)
+    out_chunk, stats = run(8)
+    assert out_full == out_chunk, (out_full, out_chunk)
+    assert stats.get("prefill_chunks", 0) >= 7  # 4 + 3 chunks dispatched
+
+
+@pytest.mark.parametrize("quant", [None, jnp.int8])
+def test_prefill_chunk_matches_full_prefill(params, quant):
+    """Model-level chunked prefill == whole-prompt prefill: same logits,
+    same cache contents over the valid region, same final length."""
+    import numpy as np
+
+    from flash_attention_tpu.inference import init_cache
+    from flash_attention_tpu.inference import kv_cache as kvc
+    from flash_attention_tpu.inference.model_runner import (
+        prefill, prefill_chunk,
+    )
+
+    cache_a = init_cache(
+        CFG.n_layer, 2, CFG.kv_heads, 64, CFG.head_dim,
+        dtype=CFG.dtype, quant_dtype=quant,
+    )
+    cache_b = init_cache(
+        CFG.n_layer, 2, CFG.kv_heads, 64, CFG.head_dim,
+        dtype=CFG.dtype, quant_dtype=quant,
+    )
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (21,), 0, CFG.vocab_size)
+    ca, logits_full = prefill(params, prompt, CFG, cache_a, jnp.int32(1))
+    c, cb = 8, cache_b
+    fn = jax.jit(
+        lambda p, t, cc, s, st, n: prefill_chunk(p, t, CFG, cc, s, st, n)
+    )
+    for start in range(0, 21, c):
+        valid = min(c, 21 - start)
+        chunk = np.zeros((c,), np.int32)
+        chunk[:valid] = np.asarray(prompt[start : start + valid])
+        cb, logits_chunk = fn(
+            params, jnp.asarray(chunk), cb, jnp.int32(1),
+            jnp.int32(start), jnp.int32(valid),
+        )
+    tol = 1e-3 if quant is None else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(logits_full), np.asarray(logits_chunk), atol=tol
+    )
+    assert int(cb.lengths[1]) == 21
+    ka, _ = kvc.layer_kv(ca, 0, dtype=jnp.float32)
+    kb, _ = kvc.layer_kv(cb, 0, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(ka[:, 1, :21]), np.asarray(kb[:, 1, :21]), atol=tol
+    )
