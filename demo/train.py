@@ -106,6 +106,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning-rate", type=float, default=3e-4)
     p.add_argument("--attention", choices=["flash", "dense"], default="flash")
     p.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
+    p.add_argument(
+        "--remat", action="store_true",
+        help="checkpoint each block (trade recompute for activation memory)",
+    )
     p.add_argument("--profile", action="store_true", help="trace 1 iter and exit")
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument(
@@ -145,6 +149,7 @@ def _run(args: argparse.Namespace):
         dropout=args.dropout,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         use_flash=args.attention == "flash",
+        remat=args.remat,
     )
     outdir = pathlib.Path(args.out_dir)
     tcfg = TrainerConfig(

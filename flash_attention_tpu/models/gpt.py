@@ -41,6 +41,11 @@ class GPTConfig:
     bias: bool = True
     dtype: Any = jnp.bfloat16  # activation/compute dtype (params stay fp32)
     use_flash: bool = True  # False = dense attention (the OOM foil, SURVEY §4)
+    # Rematerialize each transformer block in the backward pass
+    # (jax.checkpoint): activation memory drops from O(n_layer) block
+    # activations to O(1) + recompute — the standard TPU trade of FLOPs for
+    # HBM, enabling larger batch x block than fit otherwise.
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -176,17 +181,19 @@ def forward(
         x = params["wte"][idx] + params["wpe"][:t]
         x = x.astype(cfg.dtype)
         x = _dropout(x, cfg.dropout, rngs[0], deterministic)
+    def block_fn(x, blk, rng_a, rng_m):
+        x = x + _attention(
+            _layer_norm(x, blk["ln1"]), blk["attn"], cfg, rng_a, deterministic
+        )
+        return x + _mlp(
+            _layer_norm(x, blk["ln2"]), blk["mlp"], cfg, rng_m, deterministic
+        )
+
+    if cfg.remat:
+        block_fn = jax.checkpoint(block_fn)
     for li, blk in enumerate(params["blocks"]):
-        with jax.named_scope(f"block{li}.attn"):
-            x = x + _attention(
-                _layer_norm(x, blk["ln1"]), blk["attn"], cfg,
-                rngs[1 + 2 * li], deterministic,
-            )
-        with jax.named_scope(f"block{li}.mlp"):
-            x = x + _mlp(
-                _layer_norm(x, blk["ln2"]), blk["mlp"], cfg,
-                rngs[2 + 2 * li], deterministic,
-            )
+        with jax.named_scope(f"block{li}"):
+            x = block_fn(x, blk, rngs[1 + 2 * li], rngs[2 + 2 * li])
     x = _layer_norm(x, params["lnf"])
     # Weight-tied lm head.  Logits stay in the model dtype: the loss casts
     # to fp32 only inside its reductions, so bf16 training keeps a bf16

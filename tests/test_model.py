@@ -101,3 +101,36 @@ def test_generate():
     )
     assert out.shape == (1, 8)
     assert (out[:, :4] == idx).all()
+
+
+def test_remat_grads_match_and_memory_shrinks():
+    """cfg.remat=True (jax.checkpoint per block) must not change gradients
+    and must wrap every block in a remat call (the byte-level memory
+    assertion runs in the on-TPU lane)."""
+    import dataclasses
+
+    import numpy as np
+
+    cfg = gpt.GPTConfig(
+        vocab_size=64, block_size=128, n_layer=4, n_head=4, n_embd=128,
+        dropout=0.0, dtype=jnp.float32,
+    )
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (2, 128), 0, 64)
+    tgt = jax.random.randint(jax.random.PRNGKey(2), (2, 128), 0, 64)
+
+    g_plain = jax.grad(lambda p: gpt.loss_fn(p, idx, tgt, cfg))(params)
+    g_remat = jax.grad(lambda p: gpt.loss_fn(p, idx, tgt, cfg_r))(params)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # Each block must trace under a remat call (the CPU backend's compiled
+    # temp accounting does not reflect checkpointing, so the byte-level
+    # assertion lives in the on-TPU lane — tests/tpu/test_on_device.py).
+    jaxpr = str(
+        jax.make_jaxpr(
+            lambda p: jax.grad(lambda q: gpt.loss_fn(q, idx, tgt, cfg_r))(p)
+        )(params)
+    )
+    assert jaxpr.count("remat") >= cfg.n_layer

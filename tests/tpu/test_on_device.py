@@ -329,3 +329,30 @@ def test_decode_attention_fused(hq, hkv, d, quant):
     ref = decode_attention(q, cache, 1)
     out = jax.jit(lambda q, c: decode_attention_fused(q, c, 1))(q, cache)
     assert _maxerr(out, ref) <= 3e-2
+
+
+def test_remat_shrinks_train_memory():
+    """cfg.remat must reduce compiled temp memory on the real TPU (the CPU
+    backend's accounting does not reflect checkpointing)."""
+    import dataclasses
+
+    from flash_attention_tpu.models import gpt
+    from flash_attention_tpu.utils.profiling import memory_report
+
+    cfg = gpt.GPTConfig(
+        vocab_size=256, block_size=1024, n_layer=8, n_head=8, n_embd=512,
+        dropout=0.0, dtype=jnp.bfloat16,
+    )
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (8, 1024), 0, 256)
+    tgt = jax.random.randint(jax.random.PRNGKey(2), (8, 1024), 0, 256)
+    m_plain = memory_report(
+        lambda p: jax.grad(lambda q: gpt.loss_fn(q, idx, tgt, cfg))(p), params
+    )
+    m_remat = memory_report(
+        lambda p: jax.grad(lambda q: gpt.loss_fn(q, idx, tgt, cfg_r))(p), params
+    )
+    assert m_remat.temp_bytes < 0.8 * m_plain.temp_bytes, (
+        m_remat.temp_bytes, m_plain.temp_bytes,
+    )
