@@ -208,12 +208,16 @@ def bench_decode(
 
 def bench_engine(
     slots=8, n_requests=32, rate_per_s=20.0, prompt_len=200,
-    max_new_tokens=64, scan_steps=16, seed=0,
+    max_new_tokens=64, scan_steps=16, seed=0, long_frac=0.0,
+    max_len=512, chunk_prefill=None,
 ) -> dict:
     """Continuous-batching engine under Poisson arrivals: p50/p95 TTFT and
     aggregate tokens/s (the BASELINE.json 'continuous batching scheduler,
     TTFT/tokens-per-second measurement' metric, measured end-to-end through
-    the scheduler, scan-based decode and on-device sampling)."""
+    the scheduler, scan-based decode and on-device sampling).
+
+    long_frac > 0 mixes in long prompts (80% of max_len) to expose
+    head-of-line blocking; chunk_prefill enables chunked admission."""
     import numpy as np
 
     from flash_attention_tpu.inference.engine import InferenceEngine
@@ -222,14 +226,25 @@ def bench_engine(
     cfg = gpt.GPT2_124M
     params = gpt.init_params(jax.random.PRNGKey(0), cfg)
     eng = InferenceEngine(
-        params, cfg, slots=slots, max_len=512, scan_steps=scan_steps
+        params, cfg, slots=slots, max_len=max_len, scan_steps=scan_steps,
+        chunk_prefill=chunk_prefill,
     )
     rng = np.random.default_rng(seed)
-    prompts = rng.integers(
-        0, cfg.vocab_size, (n_requests, prompt_len)
-    ).tolist()
-    # warm up the compiled paths (prefill bucket + decode scan)
+    long_len = int(max_len * 0.8)
+    is_long = rng.random(n_requests) < long_frac
+    prompts = [
+        rng.integers(
+            0, cfg.vocab_size, long_len if is_long[i] else prompt_len
+        ).tolist()
+        for i in range(n_requests)
+    ]
+    # warm up the compiled paths (prefill buckets, chunks, decode scan)
     eng.submit(prompts[0], max_new_tokens=scan_steps)
+    if long_frac:
+        eng.submit(
+            rng.integers(0, cfg.vocab_size, long_len).tolist(),
+            max_new_tokens=scan_steps,
+        )
     eng.run()
     eng.finished.clear()
     eng.stats = {"decode_steps": 0, "prefills": 0, "tokens_out": 0}
@@ -237,25 +252,29 @@ def bench_engine(
     arrivals = np.cumsum(rng.exponential(1.0 / rate_per_s, n_requests))
     t_start = time.perf_counter()
     next_req = 0
-    while next_req < n_requests or eng.queue or eng.running:
+    uid_long = {}
+    while next_req < n_requests or eng.queue or eng.running or eng.prefilling:
         now = time.perf_counter() - t_start
         while next_req < n_requests and arrivals[next_req] <= now:
-            eng.submit(prompts[next_req], max_new_tokens=max_new_tokens)
+            uid = eng.submit(prompts[next_req], max_new_tokens=max_new_tokens)
+            uid_long[uid] = bool(is_long[next_req])
             next_req += 1
-        if eng.queue or eng.running:
+        if eng.queue or eng.running or eng.prefilling:
             eng.step()
         else:
             time.sleep(min(0.001, arrivals[next_req] - now))
     wall = time.perf_counter() - t_start
-    ttfts = sorted(r.ttft for r in eng.finished)
+    short = sorted(r.ttft for r in eng.finished if not uid_long.get(r.uid))
     toks = sum(len(r.output) for r in eng.finished)
+    tag = "" if chunk_prefill is None else f" chunk{chunk_prefill}"
+    tag += f" long{int(long_frac * 100)}%" if long_frac else ""
     return {
         "config": (
             f"engine GPT2-124M slots{slots} scan{scan_steps} "
-            f"poisson{rate_per_s:.0f}/s x{n_requests}"
+            f"poisson{rate_per_s:.0f}/s x{n_requests}{tag}"
         ),
-        "ttft_p50_ms": ttfts[len(ttfts) // 2] * 1e3,
-        "ttft_p95_ms": ttfts[int(len(ttfts) * 0.95)] * 1e3,
+        "ttft_p50_ms": short[len(short) // 2] * 1e3,
+        "ttft_p95_ms": short[int(len(short) * 0.95)] * 1e3,
         "tokens_per_s": toks / wall,
         "requests": len(eng.finished),
     }

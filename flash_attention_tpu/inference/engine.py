@@ -100,7 +100,11 @@ class InferenceEngine:
         every running stream.  The traced chunk start means ONE compile
         serves every chunk of every prompt.  Non-GPT architectures need a
         matching `prefill_chunk_fn(params, tokens, cfg, cache, slot, start,
-        length)`."""
+        length)`.  Off by default — worth enabling only when a single
+        prefill dispatch is long enough to visibly stall decode (large
+        models / long prompts); at small-model scale the slot time spent
+        prefilling across several scheduler steps costs more than the
+        blocking it avoids (measured — see BASELINE.md)."""
         self.params = params
         self.cfg = cfg
         self.slots = slots
