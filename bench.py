@@ -265,6 +265,8 @@ def bench_engine(
             time.sleep(min(0.001, arrivals[next_req] - now))
     wall = time.perf_counter() - t_start
     short = sorted(r.ttft for r in eng.finished if not uid_long.get(r.uid))
+    if not short:  # all-long workloads: report TTFT over everything
+        short = sorted(r.ttft for r in eng.finished)
     toks = sum(len(r.output) for r in eng.finished)
     tag = "" if chunk_prefill is None else f" chunk{chunk_prefill}"
     tag += f" long{int(long_frac * 100)}%" if long_frac else ""

@@ -173,6 +173,10 @@ def _run(args: argparse.Namespace):
     train_iter = batch_iterator(
         train_data, args.batch_size, cfg.block_size, seed=args.seed
     )
+    for _ in range(trainer.step):
+        # fast-forward past the batches the pre-checkpoint run consumed so
+        # the resumed run sees the same data sequence as an uninterrupted one
+        next(train_iter)
 
     def val_batches():
         return batch_iterator(val_data, args.batch_size, cfg.block_size, seed=1234)

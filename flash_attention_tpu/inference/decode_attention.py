@@ -13,10 +13,15 @@ for a rank-1 q), so three implementations trade generality for bandwidth:
   double-buffered DMA that stops at each slot's length (decode cost tracks
   the actual context, not capacity), per-token dequant fused in VMEM (the
   HBM stream stays 1 byte/elem), and lane-packing for head_dim < 128.
-  The production decode path.
+  Measured SLOWER than the einsum on v5e (see BASELINE.md) — an option for
+  short-context/long-capacity caches, not the default.
 * ``decode_attention_paged`` — the paged-cache kernel (non-contiguous pages
   via a page table); per-(slot, head) grid cells make it the right shape for
   large-group GQA, but DMA-latency-bound for MHA.
+
+The einsum is the engine default: on TPU+XLA a rank-1, bandwidth-bound
+decode belongs to the XLA fusion engine (it fuses the dequant convert and
+the per-layer cache slice that a pallas operand forces into copies).
 """
 
 from __future__ import annotations
@@ -89,7 +94,7 @@ def decode_attention_paged(
 ) -> jax.Array:
     """Decode attention through the paged Pallas kernel (zero-copy page view
     of the slot cache).  Reads only pages up to each slot's length and
-    streams quantized payloads at 1 byte/elem — the production decode path.
+    streams quantized payloads at 1 byte/elem.
 
     Small head dims (64, 32, ...) are lane-packed into 128-wide page rows
     inside paged_attention (Mosaic page-DMA alignment); head dims that
@@ -118,7 +123,7 @@ def decode_attention_paged(
 
 
 # ---------------------------------------------------------------------------
-# Fused-heads slot-major decode kernel (the production decode path)
+# Fused-heads slot-major decode kernel
 # ---------------------------------------------------------------------------
 
 
@@ -338,13 +343,19 @@ def decode_attention_fused(
     sm_scale: float | None = None,
     block: int = 512,
 ) -> jax.Array:
-    """Slot-major fused-heads decode attention (the production decode path).
+    """Slot-major fused-heads decode attention.
 
     q: [slots, q_heads, head_dim] -> same shape.  Reads each slot's cache
     only up to its length (block granularity), streams quantized payloads at
     1 byte/elem with dequant fused in VMEM, and lane-packs head dims < 128
     to satisfy Mosaic's 128-aligned trailing-extent DMA rule.  Falls back to
     the einsum path for head dims that do not divide 128.
+
+    NOT the default: measured slower than decode_attention (einsum) on v5e
+    — in a decode scan the per-layer cache slice a pallas operand requires
+    becomes a real copy, and the strided per-head DMA streams below XLA's
+    fused contiguous read (BASELINE.md).  It wins only when contexts are
+    far shorter than cache capacity (length-adaptive reads).
     """
     s, hq, dd = q.shape
     hkv = cache.kv_heads

@@ -266,21 +266,29 @@ class InferenceEngine:
                 jnp.int32(slot),
                 jnp.int32(n),
             )
-            tok = self._sample_one(logits, req)
-            req.first_token_time = time.time()
-            req.output.append(int(tok))
-            self._next_tokens_dev = self._next_tokens_dev.at[slot].set(tok)
-            self._slot_cfg = None  # running set changes: rebuild on device
-            self.stats["prefills"] += 1
-            self.stats["tokens_out"] += 1
-            if (req.eos_id is not None and int(tok) == req.eos_id) or (
-                req.max_new_tokens <= 1
-            ):
-                req.finish_time = time.time()
-                self.finished.append(req)
-                free.insert(0, slot)
-            else:
-                self.running[slot] = req
+            if not self._finish_admission(slot, req, logits):
+                free.insert(0, slot)  # finished on its first token
+
+    def _finish_admission(self, slot: int, req: Request, logits) -> bool:
+        """Sample the prompt's first token and move the request into the
+        running set (shared by whole-prompt and chunked admission).  Returns
+        False if the request already finished (eos / max_new_tokens <= 1).
+        """
+        tok = self._sample_one(logits, req)
+        req.first_token_time = time.time()
+        req.output.append(int(tok))
+        self._next_tokens_dev = self._next_tokens_dev.at[slot].set(tok)
+        self._slot_cfg = None  # running set changes: rebuild on device
+        self.stats["prefills"] += 1
+        self.stats["tokens_out"] += 1
+        if (req.eos_id is not None and int(tok) == req.eos_id) or (
+            req.max_new_tokens <= 1
+        ):
+            req.finish_time = time.time()
+            self.finished.append(req)
+            return False
+        self.running[slot] = req
+        return True
 
     def _advance_prefills(self) -> None:
         """Process one chunk for every prefilling slot, then decode resumes;
@@ -290,37 +298,32 @@ class InferenceEngine:
             req, pos = self.prefilling[slot]
             c = self.chunk_prefill
             n = len(req.prompt)
-            valid = min(c, n - pos)
+            start = pos
+            if start + c > self.max_len:
+                # The static-width final chunk must not cross capacity:
+                # dynamic_update_slice would clamp the start and overwrite
+                # earlier REAL rows with padding.  Shift the window back so
+                # it ends at max_len — the overlapped rows are re-written
+                # with their own (identical) tokens, which is idempotent.
+                start = self.max_len - c
+            valid = min(c, n - start)
             toks = np.full((c,), req.prompt[-1], np.int32)
-            toks[:valid] = req.prompt[pos : pos + valid]
+            toks[:valid] = req.prompt[start : start + valid]
             self.cache, logits = self._prefill_chunk(
                 self.params,
                 jnp.asarray(toks),
                 self.cache,
                 jnp.int32(slot),
-                jnp.int32(pos),
+                jnp.int32(start),
                 jnp.int32(valid),
             )
-            pos += valid
+            pos = start + valid
             self.stats["prefill_chunks"] = self.stats.get("prefill_chunks", 0) + 1
             if pos < n:
                 self.prefilling[slot][1] = pos
                 continue
             del self.prefilling[slot]
-            tok = self._sample_one(logits, req)
-            req.first_token_time = time.time()
-            req.output.append(int(tok))
-            self._next_tokens_dev = self._next_tokens_dev.at[slot].set(tok)
-            self._slot_cfg = None
-            self.stats["prefills"] += 1
-            self.stats["tokens_out"] += 1
-            if (req.eos_id is not None and int(tok) == req.eos_id) or (
-                req.max_new_tokens <= 1
-            ):
-                req.finish_time = time.time()
-                self.finished.append(req)
-            else:
-                self.running[slot] = req
+            self._finish_admission(slot, req, logits)
 
     def _sample_one(self, logits: jax.Array, req: Request) -> int:
         self._rng, sub = jax.random.split(self._rng)

@@ -18,6 +18,8 @@ quantized leaves inherit the orientation of the weight they belong to.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.tree_util import DictKey
@@ -62,6 +64,14 @@ def llama_param_specs(params) -> object:
     return jax.tree_util.tree_map_with_path(_leaf_spec, params)
 
 
+def _cache_specs(quantized: bool) -> object:
+    from ..inference.kv_cache import KVCache
+
+    payload = P(None, MODEL_AXIS)
+    scale = payload if quantized else None
+    return KVCache(k=payload, v=payload, k_scale=scale, v_scale=scale, lengths=P())
+
+
 def cache_specs(cache) -> object:
     """PartitionSpec pytree for a KVCache: payloads and scales shard over
     the kv-heads dim (dim 1 of [n_layer, kv_heads, slots, max_len, ...]);
@@ -69,14 +79,7 @@ def cache_specs(cache) -> object:
     from ..inference.kv_cache import KVCache
 
     assert isinstance(cache, KVCache)
-    payload = P(None, MODEL_AXIS)
-    return KVCache(
-        k=payload,
-        v=payload,
-        k_scale=None if cache.k_scale is None else payload,
-        v_scale=None if cache.v_scale is None else payload,
-        lengths=P(),
-    )
+    return _cache_specs(cache.quantized)
 
 
 def _named(mesh, specs):
@@ -107,18 +110,36 @@ def shard_llama_for_inference(params, cache, mesh: Mesh):
     return params, cache
 
 
+# The jitted fns are built once per (cfg, mesh, ...) key — cfg is a frozen
+# dataclass and Mesh is hashable — so repeated serving calls hit jit's
+# compile cache instead of retracing a fresh lambda every call.
+@functools.lru_cache(maxsize=32)
+def _prefill_fn(cfg, mesh: Mesh, quantized: bool):
+    from ..models import llama
+
+    return jax.jit(
+        lambda p, t, c, s, n: llama.prefill(p, t, cfg, c, s, n),
+        out_shardings=(_named(mesh, _cache_specs(quantized)), None),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _decode_loop_fn(cfg, mesh: Mesh, quantized: bool, n_steps: int):
+    from ..models import llama
+
+    return jax.jit(
+        lambda p, c, t: llama.decode_loop(p, cfg, c, t, n_steps),
+        out_shardings=(_named(mesh, _cache_specs(quantized)), None),
+    )
+
+
 def tp_prefill(params, tokens, cfg, cache, slot, mesh: Mesh, length=None):
     """jit-compiled llama.prefill with TP-sharded params/cache.
 
     The cache out-sharding is pinned so the updated cache STAYS sharded
     across calls instead of being gathered to host layout.
     """
-    from ..models import llama
-
-    fn = jax.jit(
-        lambda p, t, c, s, n: llama.prefill(p, t, cfg, c, s, n),
-        out_shardings=(_named(mesh, cache_specs(cache)), None),
-    )
+    fn = _prefill_fn(cfg, mesh, cache.quantized)
     return fn(params, tokens, cache, slot, length)
 
 
@@ -127,11 +148,5 @@ def tp_decode_loop(params, cfg, cache, first_tokens, n_steps, mesh: Mesh):
     decode step each shard computes its heads' attention + column slices
     locally; the only collectives are the row-parallel psums (wo, w_down)
     and the vocab-sharded argmax reduction."""
-    from ..models import llama
-
-    fn = jax.jit(
-        lambda p, c, t: llama.decode_loop(p, cfg, c, t, n_steps),
-        static_argnums=(),
-        out_shardings=(_named(mesh, cache_specs(cache)), None),
-    )
+    fn = _decode_loop_fn(cfg, mesh, cache.quantized, n_steps)
     return fn(params, cache, first_tokens)

@@ -207,3 +207,26 @@ def test_prefill_chunk_matches_full_prefill(params, quant):
     np.testing.assert_allclose(
         np.asarray(ka[:, 1, :21]), np.asarray(kb[:, 1, :21]), atol=tol
     )
+
+
+def test_engine_chunked_prefill_final_chunk_at_capacity(params):
+    """Review finding: a padded final chunk crossing max_len made
+    dynamic_update_slice clamp its start and overwrite earlier REAL cache
+    rows with padding.  Prompt lengths landing in the last partial-chunk
+    window must still match whole-prompt admission exactly."""
+    from flash_attention_tpu.inference.engine import InferenceEngine
+
+    # max_len 64, chunk 24: prompts of length 58..63 put the final chunk
+    # across the capacity boundary (58 > 64-24+1)
+    for n in (58, 62, 63):
+        prompt = [(i % 50) + 1 for i in range(n)]
+
+        def run(chunk):
+            eng = InferenceEngine(
+                params, CFG, slots=1, max_len=64,
+                scan_steps=2, chunk_prefill=chunk,
+            )
+            eng.submit(prompt, max_new_tokens=1)
+            return eng.run()[0].output
+
+        assert run(None) == run(24), n
