@@ -282,6 +282,65 @@ def bench_engine(
     }
 
 
+def bench_speculative(slots=8, ctx=512, n_iters=24, k=4) -> dict:
+    """Speculative decoding: GPT-2 124M target + a 2-layer draft, vs the
+    vanilla decode_loop.  Greedy spec decode emits the target's exact
+    greedy tokens; the speedup scales with the acceptance rate, which for
+    RANDOMLY-initialized weights is an artifact of degenerate token loops
+    — the tok/s number is mechanism overhead + the measured acceptance,
+    not a trained-model acceptance claim."""
+    import dataclasses
+
+    from flash_attention_tpu.inference import init_cache
+    from flash_attention_tpu.inference.model_runner import decode_loop
+    from flash_attention_tpu.inference.speculative import speculative_decode_loop
+    from flash_attention_tpu.models import gpt
+
+    cfg = gpt.GPT2_124M
+    dcfg = dataclasses.replace(cfg, n_layer=2, n_embd=256, n_head=4)
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    dparams = gpt.init_params(jax.random.PRNGKey(1), dcfg)
+
+    def make_cache(c):
+        return init_cache(
+            c.n_layer, slots, c.kv_heads, c.block_size, c.head_dim, dtype=c.dtype
+        )
+
+    import dataclasses as _dc
+
+    # warm by lengths only (serialized per-slot prefills cost ~30 ms each
+    # through the tunnel; mechanism timing doesn't need real context)
+    ct = _dc.replace(make_cache(cfg), lengths=jnp.full((slots,), ctx, jnp.int32))
+    cd = _dc.replace(make_cache(dcfg), lengths=jnp.full((slots,), ctx, jnp.int32))
+    first = jnp.zeros((slots,), jnp.int32)
+
+    # params must be ARGUMENTS (closure capture would bake 500 MB of
+    # weights into the compile payload as constants)
+    spec = jax.jit(
+        lambda p, dp, ct, cd, f: speculative_decode_loop(
+            p, cfg, ct, dp, dcfg, cd, f, n_iters=n_iters, k=k
+        )[2:]
+    )
+    toks, counts = spec(params, dparams, ct, cd, first)
+    emitted = float(jnp.sum(counts))
+    t0 = time.perf_counter()
+    toks, counts = spec(params, dparams, ct, cd, first)
+    emitted = float(jnp.sum(counts))  # forces sync
+    dt = time.perf_counter() - t0
+
+    # vanilla target-only decode of the same emitted count per slot
+    steps = max(int(emitted / slots), 1)
+    loop = jax.jit(lambda p, c, t: decode_loop(p, cfg, c, t, steps)[1].sum())
+    dt_v = _timeit(loop, params, ct, first, iters=3)
+    return {
+        "config": f"spec-decode GPT2-124M draft2L k{k} slots{slots} ctx{ctx}",
+        "tokens_per_s": emitted / dt,
+        "vanilla_tokens_per_s": slots * steps / dt_v,
+        "accept_per_iter": emitted / (n_iters * slots),
+        "k": k,
+    }
+
+
 def _synthetic_llama_quant(cfg, key, bits=8):
     """Llama params with projections generated directly as int8/int4+scales
     (no fp32 staging: a real 7B would need 27 GB host RAM otherwise)."""

@@ -16,11 +16,22 @@ from .kv_cache import (
     prefill_write,
     set_length,
 )
-from .model_runner import decode_loop, decode_step, prefill
+from .model_runner import (
+    decode_loop,
+    decode_step,
+    prefill,
+    prefill_chunk,
+    verify_step,
+)
+from .speculative import gather_tokens, speculative_decode_loop
 from .paged_attention import paged_attention, paged_attention_ref
 from .sampling import sample
 
 __all__ = [
+    "gather_tokens",
+    "prefill_chunk",
+    "speculative_decode_loop",
+    "verify_step",
     "InferenceEngine",
     "KVCache",
     "Request",

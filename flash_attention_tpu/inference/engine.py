@@ -41,6 +41,7 @@ class Request:
     max_new_tokens: int = 64
     temperature: float = 0.0  # 0 = greedy
     top_k: int | None = None
+    top_p: float | None = None  # nucleus sampling (1.0 disables)
     eos_id: int | None = None
     # filled by the engine
     output: list[int] = dataclasses.field(default_factory=list)
@@ -137,13 +138,13 @@ class InferenceEngine:
             lambda p, toks, cache, active: _decode_impl(p, toks, cfg, cache, active)
         )
 
-        def _scan(p, cache, first_toks, active, rng, temps, topks, sampling):
+        def _scan(p, cache, first_toks, active, rng, temps, topks, topps, sampling):
             def body(carry, _):
                 cache, toks, rng = carry
                 cache, logits = _decode_impl(p, toks, cfg, cache, active)
                 if sampling:
                     rng, sub = jax.random.split(rng)
-                    nxt = sample_tokens(logits, sub, temps, topks)
+                    nxt = sample_tokens(logits, sub, temps, topks, topps)
                 else:
                     # all-greedy fast path: skips the full-vocab top-k sort
                     nxt = jnp.argmax(logits, axis=-1)
@@ -157,7 +158,7 @@ class InferenceEngine:
             )
             return cache, toks, rng
 
-        self._decode_scan = jax.jit(_scan, static_argnums=(7,))
+        self._decode_scan = jax.jit(_scan, static_argnums=(8,))
         self.chunk_prefill = chunk_prefill
         _chunk_impl = prefill_chunk_fn or (
             prefill_chunk if prefill_fn is None else None
@@ -196,6 +197,7 @@ class InferenceEngine:
         max_new_tokens: int = 64,
         temperature: float = 0.0,
         top_k: int | None = None,
+        top_p: float | None = None,
         eos_id: int | None = None,
     ) -> int:
         if not prompt:
@@ -207,6 +209,7 @@ class InferenceEngine:
             max_new_tokens=max_new_tokens,
             temperature=temperature,
             top_k=top_k,
+            top_p=top_p,
             eos_id=eos_id,
             submit_time=time.time(),
         )
@@ -333,6 +336,7 @@ class InferenceEngine:
                 sub,
                 temperature=req.temperature,
                 top_k=req.top_k,
+                top_p=req.top_p,
             )[0]
         )
 
@@ -351,18 +355,22 @@ class InferenceEngine:
             temps = np.zeros((self.slots,), np.float32)
             vocab = getattr(self.cfg, "vocab_size", None) or 1 << 30
             topks = np.full((self.slots,), vocab, np.int32)
+            topps = np.ones((self.slots,), np.float32)
             for s, req in self.running.items():
                 active[s] = True
                 temps[s] = req.temperature
                 if req.top_k is not None:
                     topks[s] = req.top_k
+                if req.top_p is not None:
+                    topps[s] = req.top_p
             self._slot_cfg = (
                 jnp.asarray(active),
                 jnp.asarray(temps),
                 jnp.asarray(topks),
+                jnp.asarray(topps),
                 bool((temps > 0).any()),
             )
-        active_d, temps_d, topks_d, sampling = self._slot_cfg
+        active_d, temps_d, topks_d, topps_d, sampling = self._slot_cfg
         self.cache, toks_dev, self._rng = self._decode_scan(
             self.params,
             self.cache,
@@ -371,6 +379,7 @@ class InferenceEngine:
             self._rng,
             temps_d,
             topks_d,
+            topps_d,
             sampling,
         )
         self._next_tokens_dev = toks_dev[-1]

@@ -177,6 +177,36 @@ def decode_write(
     return KVCache(k, v, ks, vs, cache.lengths)
 
 
+def multi_write(
+    cache: KVCache,
+    layer: int,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    positions: jax.Array,
+) -> KVCache:
+    """Write C tokens per slot in one vectorized scatter: k_new/v_new
+    [slots, C, kv_heads, head_dim], positions [slots, C] (the speculative
+    verify step's write path — one scatter per layer, not C)."""
+    s, c, hkv, _ = k_new.shape
+    hd = jnp.arange(hkv)[:, None, None]  # [hkv, 1, 1]
+    sl = jnp.arange(s)[None, :, None]  # [1, s, 1]
+    pos = positions[None, :, :]  # [1, s, c]
+    if cache.quantized:
+        k_pay, k_sc = _quantize_tokens(k_new, cache.k.dtype)
+        v_pay, v_sc = _quantize_tokens(v_new, cache.v.dtype)
+    else:
+        k_pay, v_pay = k_new.astype(cache.k.dtype), v_new.astype(cache.v.dtype)
+        k_sc = v_sc = None
+    # [s, c, hkv, d] -> [hkv, s, c, d] for the scatter
+    k = cache.k.at[layer, hd, sl, pos].set(k_pay.transpose(2, 0, 1, 3))
+    v = cache.v.at[layer, hd, sl, pos].set(v_pay.transpose(2, 0, 1, 3))
+    ks = vs = None
+    if cache.quantized:
+        ks = cache.k_scale.at[layer, hd, sl, pos].set(k_sc.transpose(2, 0, 1))
+        vs = cache.v_scale.at[layer, hd, sl, pos].set(v_sc.transpose(2, 0, 1))
+    return KVCache(k, v, ks, vs, cache.lengths)
+
+
 def advance_lengths(cache: KVCache, amount) -> KVCache:
     return dataclasses.replace(cache, lengths=cache.lengths + amount)
 

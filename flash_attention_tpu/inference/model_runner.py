@@ -169,6 +169,80 @@ def prefill_chunk(
     return cache, logits
 
 
+def _verify_attention(q, cache, layer, starts):
+    """Batched multi-token decode attention: q [S, Hq, C, D] where slot s's
+    row c sits at absolute position starts[s] + c and sees cache entries
+    [0, starts[s] + c].  The speculative-decoding verify step: C is the
+    draft window (a handful of tokens), so dense C x max_len scores are
+    cheap and the per-slot dynamic offset stays expressible."""
+    s, hq, c, d = q.shape
+    hkv = cache.kv_heads
+    group = hq // hkv
+    q5 = q.reshape(s, hkv, group, c, d) * (float(d) ** -0.5)
+    k, v = cache.k[layer], cache.v[layer]  # [hkv, S, L, D]
+    scores = jnp.einsum(
+        "shgcd,hsld->shgcl", q5, k.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if cache.quantized:
+        scores = scores * jnp.swapaxes(cache.k_scale[layer], 0, 1)[
+            :, :, None, None, :
+        ]
+    row = jnp.arange(c)[None, :, None]
+    col = jnp.arange(cache.max_len)[None, None, :]
+    visible = col <= starts[:, None, None] + row  # [S, C, L]
+    from ..kernels.vanilla import DEFAULT_MASK_VALUE
+
+    scores = jnp.where(visible[:, None, None], scores, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(scores, axis=-1)
+    if cache.quantized:
+        p = p * jnp.swapaxes(cache.v_scale[layer], 0, 1)[:, :, None, None, :]
+    out = jnp.einsum(
+        "shgcl,hsld->shgcd", p.astype(q.dtype), v.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(s, hq, c, d).astype(q.dtype)
+
+
+def verify_step(
+    params,
+    tokens: jax.Array,
+    cfg: GPTConfig,
+    cache: kvc.KVCache,
+) -> tuple[kvc.KVCache, jax.Array]:
+    """Score C tokens per slot in ONE forward: tokens [S, C] placed at
+    positions lengths[s]..lengths[s]+C-1, K/V written into the cache.
+
+    Returns (cache, logits [S, C, vocab]) — logits at EVERY row, which is
+    what speculative decoding's accept test needs.  Cache lengths are NOT
+    advanced; the caller decides how many rows were accepted and sets them
+    (rows past the accepted point hold garbage that later writes overwrite
+    and the length mask hides).
+    """
+    s, c = tokens.shape
+    d, h, hkv = cfg.head_dim, cfg.n_head, cfg.kv_heads
+    starts = jnp.clip(cache.lengths, 0, cache.max_len - 1)
+    pos = jnp.clip(starts[:, None] + jnp.arange(c)[None, :], 0, cache.max_len - 1)
+    x = (
+        params["wte"][tokens]
+        + params["wpe"][jnp.clip(pos, 0, cfg.block_size - 1)]
+    ).astype(cfg.dtype)  # [S, C, E]
+    for li, blk in enumerate(params["blocks"]):
+        xa = _layer_norm(x, blk["ln1"])
+        q, k, v = _qkv(xa, blk, cfg)
+        q = q.reshape(s, c, h, d).transpose(0, 2, 1, 3)
+        k = k.reshape(s, c, hkv, d)
+        v = v.reshape(s, c, hkv, d)
+        cache = kvc.multi_write(cache, li, k, v, pos)
+        y = _verify_attention(q, cache, li, starts)
+        y = y.transpose(0, 2, 1, 3).reshape(s, c, h * d)
+        x = x + _matmul(y, blk["attn"]["wo"], blk["attn"]["bo"])
+        x = x + _mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
+    x = _layer_norm(x, params["lnf"])
+    logits = (x @ params["wte"].astype(x.dtype).T).astype(jnp.float32)
+    return cache, logits
+
+
 def decode_step(
     params,
     tokens: jax.Array,

@@ -1,9 +1,24 @@
-"""Token sampling: greedy, temperature, top-k."""
+"""Token sampling: greedy, temperature, top-k, top-p (nucleus)."""
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+
+def _top_p_filter(scaled: jax.Array, top_p: jax.Array) -> jax.Array:
+    """Mask logits outside the nucleus: keep the smallest set of tokens
+    whose cumulative probability reaches top_p [batch] (the highest-prob
+    token always survives).  scaled [batch, vocab] (already /temperature).
+    """
+    sorted_desc = -jnp.sort(-scaled, axis=-1)
+    probs = jax.nn.softmax(sorted_desc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # number of kept tokens: first index where cumsum >= p, inclusive
+    keep_n = jnp.sum((cum - probs) < top_p[:, None], axis=-1)
+    keep_n = jnp.clip(keep_n, 1, scaled.shape[-1])
+    kth = jnp.take_along_axis(sorted_desc, (keep_n - 1)[:, None], axis=-1)
+    return jnp.where(scaled < kth, -jnp.inf, scaled)
 
 
 def sample(
@@ -12,6 +27,7 @@ def sample(
     *,
     temperature: float = 0.0,
     top_k: int | None = None,
+    top_p: float | None = None,
 ) -> jax.Array:
     """logits [batch, vocab] -> token ids [batch]."""
     if temperature <= 0.0:
@@ -20,6 +36,8 @@ def sample(
     if top_k is not None and top_k < logits.shape[-1]:
         kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p is not None and top_p < 1.0:
+        logits = _top_p_filter(logits, jnp.full((logits.shape[0],), top_p))
     return jax.random.categorical(rng, logits, axis=-1)
 
 
@@ -28,13 +46,14 @@ def sample_tokens(
     rng: jax.Array,
     temperature: jax.Array,
     top_k: jax.Array,
+    top_p: jax.Array | None = None,
 ) -> jax.Array:
     """Per-slot sampling, fully traced (usable inside lax.scan).
 
     logits [slots, vocab]; temperature [slots] (<=0 means greedy);
-    top_k [slots] int32 (vocab size disables the filter).  Each slot gets
-    its own sampling config so a continuous-batching scan step can serve
-    mixed requests in one dispatch.
+    top_k [slots] int32 (vocab size disables the filter); top_p [slots]
+    f32 (1.0 disables).  Each slot gets its own sampling config so a
+    continuous-batching scan step can serve mixed requests in one dispatch.
     """
     vocab = logits.shape[-1]
     greedy = jnp.argmax(logits, axis=-1)
@@ -45,5 +64,7 @@ def sample_tokens(
     sorted_desc = -jnp.sort(-scaled, axis=-1)
     kth = jnp.take_along_axis(sorted_desc, (k - 1)[:, None], axis=-1)
     filtered = jnp.where(scaled < kth, -jnp.inf, scaled)
+    if top_p is not None:
+        filtered = _top_p_filter(filtered, jnp.clip(top_p, 1e-6, 1.0))
     sampled = jax.random.categorical(rng, filtered, axis=-1)
     return jnp.where(temperature <= 0.0, greedy, sampled)

@@ -230,3 +230,27 @@ def test_engine_chunked_prefill_final_chunk_at_capacity(params):
             return eng.run()[0].output
 
         assert run(None) == run(24), n
+
+
+def test_top_p_sampling_restricts_support(params):
+    """Nucleus sampling: with a tiny top_p, samples must come from the
+    highest-probability tokens only; top_p=1.0 leaves sampling unchanged."""
+    from flash_attention_tpu.inference.sampling import sample, sample_tokens
+
+    rng = jax.random.PRNGKey(0)
+    logits = jnp.asarray([[5.0, 4.9, 0.0, -1.0, -2.0]] * 2)
+    # p small enough that only the top-2 (near-tied) tokens survive
+    for i in range(20):
+        toks = sample(
+            logits, jax.random.fold_in(rng, i), temperature=1.0, top_p=0.7
+        )
+        assert set(np.asarray(toks).tolist()) <= {0, 1}
+    # traced per-slot variant: slot 0 nucleus-limited, slot 1 unrestricted
+    toks = sample_tokens(
+        jnp.tile(logits[:1], (2, 1)),
+        rng,
+        temperature=jnp.asarray([1.0, 1.0]),
+        top_k=jnp.asarray([5, 5], jnp.int32),
+        top_p=jnp.asarray([0.7, 1.0]),
+    )
+    assert int(toks[0]) in (0, 1)

@@ -1,0 +1,72 @@
+"""Speculative decoding: greedy spec-decode must produce OUTPUT IDENTICAL
+to target-only greedy decoding, for a self-draft (always fully accepted)
+and a different tiny draft (partial acceptance + rollback exercised)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flash_attention_tpu.inference import init_cache
+from flash_attention_tpu.inference.model_runner import decode_loop, prefill
+from flash_attention_tpu.inference.speculative import (
+    gather_tokens, speculative_decode_loop,
+)
+from flash_attention_tpu.models import gpt
+
+CFG = gpt.GPTConfig(
+    vocab_size=64, block_size=256, n_layer=2, n_head=4, n_embd=64,
+    dropout=0.0, dtype=jnp.float32,
+)
+DRAFT = gpt.GPTConfig(
+    vocab_size=64, block_size=256, n_layer=1, n_head=2, n_embd=32,
+    dropout=0.0, dtype=jnp.float32,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return gpt.init_params(jax.random.PRNGKey(0), CFG)
+
+
+@pytest.mark.parametrize(
+    "self_draft,quant",
+    [(True, None), (False, None), (False, jnp.int8)],
+)
+def test_speculative_matches_vanilla_greedy(params, self_draft, quant):
+    dcfg = CFG if self_draft else DRAFT
+    dparams = params if self_draft else gpt.init_params(jax.random.PRNGKey(9), DRAFT)
+    s, k, n_iters, n_ref = 2, 3, 12, 12
+    prompts = [[3, 1, 4, 1, 5], [9, 2, 6]]
+
+    def prefill_both():
+        ct = init_cache(
+            CFG.n_layer, s, CFG.kv_heads, 256, CFG.head_dim,
+            dtype=CFG.dtype, quant_dtype=quant,
+        )
+        cd = init_cache(dcfg.n_layer, s, dcfg.kv_heads, 256, dcfg.head_dim, dtype=dcfg.dtype)
+        firsts = []
+        for slot, p in enumerate(prompts):
+            ct, logits = prefill(params, jnp.asarray(p, jnp.int32), CFG, ct, jnp.int32(slot))
+            cd, _ = prefill(dparams, jnp.asarray(p, jnp.int32), dcfg, cd, jnp.int32(slot))
+            firsts.append(int(jnp.argmax(logits)))
+        return ct, cd, jnp.asarray(firsts, jnp.int32)
+
+    ct, cd, first = prefill_both()
+    ct_ref, _, _ = prefill_both()
+    # reference greedy decode uses the SAME (possibly quantized) cache kind
+    _, ref_toks = decode_loop(params, CFG, ct_ref, first, n_ref)
+
+    ct2, cd2, toks, counts = jax.jit(
+        lambda ct, cd, f: speculative_decode_loop(
+            params, CFG, ct, dparams, dcfg, cd, f, n_iters=n_iters, k=k
+        )
+    )(ct, cd, first)
+    for slot in range(s):
+        ref = [int(x) for x in ref_toks[:, slot]]
+        got = gather_tokens(toks, counts, slot, limit=n_ref)
+        assert got == ref, (slot, got, ref)
+    if self_draft:
+        # a model drafting for itself must always fully accept
+        assert int(jnp.min(counts)) == k + 1
+    # caches stay aligned
+    assert (ct2.lengths == cd2.lengths).all()
