@@ -466,8 +466,17 @@ def main() -> None:
     parser.add_argument("--llama", action="store_true")
     parser.add_argument("--train", action="store_true")
     parser.add_argument("--engine", action="store_true")
+    parser.add_argument("--spec", action="store_true")
     args = parser.parse_args()
 
+    if args.spec:
+        r = bench_speculative()
+        print(
+            f"{r['config']:55s} {r['tokens_per_s']:7.0f} tok/s "
+            f"(vanilla {r['vanilla_tokens_per_s']:.0f}); "
+            f"accept {r['accept_per_iter']:.2f}/{r['k'] + 1} per iter",
+            file=sys.stderr,
+        )
     if args.engine:
         r = bench_engine()
         print(
