@@ -156,11 +156,12 @@ def forward(params: Params, idx: jax.Array, cfg: LlamaConfig) -> jax.Array:
 
 
 def loss_fn(params, idx, targets, cfg: LlamaConfig) -> jax.Array:
+    """Mean next-token cross entropy, computed as logsumexp - picked logit
+    (never materializes the full log-prob tensor; cf. gpt.loss_fn)."""
     logits = forward(params, idx, cfg)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.mean(
-        jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    )
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(lse - picked)
 
 
 # ----------------------------------------------------------------- inference
@@ -197,6 +198,43 @@ def prefill(
         last, n = jnp.take(x[0], length - 1, axis=0), length
     logits = _mm(last, params["lm_head"]).astype(jnp.float32)
     return kvc.set_length(cache, slot, n), logits
+
+
+def prefill_chunk(
+    params: Params,
+    tokens: jax.Array,
+    cfg: LlamaConfig,
+    cache: kvc.KVCache,
+    slot: jax.Array,
+    start: jax.Array,
+    length: jax.Array | None = None,
+) -> tuple[kvc.KVCache, jax.Array]:
+    """Chunked prefill (cf. model_runner.prefill_chunk): tokens [C] at
+    positions start..start+C-1, attending to the slot's cached prefix plus
+    itself.  RoPE uses absolute positions, so chunking changes nothing.
+    Engine usage: InferenceEngine(..., prefill_fn=llama.prefill,
+    prefill_chunk_fn=llama.prefill_chunk, chunk_prefill=N)."""
+    from ..inference.model_runner import _chunk_attention
+
+    c = tokens.shape[0]
+    x = params["wte"][tokens].astype(cfg.dtype)[None]
+    positions = jnp.clip(start + jnp.arange(c), 0, cache.max_len - 1)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = cos[None, None], sin[None, None]
+    for li, blk in enumerate(params["blocks"]):
+        xa = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        q, k, v = _project_qkv(xa, blk, cfg, 1, c)
+        q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
+        cache = kvc.chunk_write(cache, li, slot, k[0], v[0], start)
+        y = _chunk_attention(q, cache, li, slot, start)
+        y = y.transpose(0, 2, 1, 3).reshape(1, c, cfg.n_head * cfg.head_dim)
+        x = x + _mm(y, blk["wo"])
+        x = x + _mlp(_rms_norm(x, blk["mlp_norm"], cfg.rms_eps), blk)
+    x = _rms_norm(x, params["norm_f"], cfg.rms_eps)
+    valid = jnp.int32(c) if length is None else length
+    last = jnp.take(x[0], valid - 1, axis=0)
+    logits = _mm(last, params["lm_head"]).astype(jnp.float32)
+    return kvc.set_length(cache, slot, start + valid), logits
 
 
 def decode_step(

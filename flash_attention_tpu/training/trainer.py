@@ -33,25 +33,45 @@ class TrainState:
     step: int = 0
 
 
+def _default_loss(cfg):
+    """(params, idx, targets, rng, train) -> scalar loss for `cfg`'s model
+    family — GPTConfig uses the dropout-aware gpt loss; LlamaConfig the
+    llama one (no dropout in the architecture)."""
+    from ..models import llama
+
+    if isinstance(cfg, llama.LlamaConfig):
+        return lambda p, i, t, rng, train: llama.loss_fn(p, i, t, cfg)
+    return lambda p, i, t, rng, train: gpt.loss_fn(
+        p, i, t, cfg, rng=rng if train else None, deterministic=not train
+    )
+
+
 def make_train_step(
-    cfg: gpt.GPTConfig, optimizer: optax.GradientTransformation
+    cfg, optimizer: optax.GradientTransformation, loss: Callable | None = None
 ) -> Callable:
-    """Build a jittable (state, batch, rng) -> (state, loss) step."""
+    """Build a jittable (state, batch, rng) -> (state, loss) step.
+
+    `loss(params, idx, targets, rng, train)` overrides the model-family
+    default (custom objectives, auxiliary losses, other model families).
+    """
+    loss = loss or _default_loss(cfg)
 
     def train_step(params, opt_state, idx, targets, rng):
-        loss, grads = jax.value_and_grad(gpt.loss_fn)(
-            params, idx, targets, cfg, rng=rng, deterministic=False
-        )
+        loss_v, grads = jax.value_and_grad(
+            lambda p: loss(p, idx, targets, rng, True)
+        )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, loss_v
 
     return train_step
 
 
-def make_eval_step(cfg: gpt.GPTConfig) -> Callable:
+def make_eval_step(cfg, loss: Callable | None = None) -> Callable:
+    loss = loss or _default_loss(cfg)
+
     def eval_step(params, idx, targets):
-        return gpt.loss_fn(params, idx, targets, cfg, deterministic=True)
+        return loss(params, idx, targets, None, False)
 
     return eval_step
 
@@ -87,7 +107,7 @@ class Trainer:
 
     def __init__(
         self,
-        cfg: gpt.GPTConfig,
+        cfg,
         tcfg: TrainerConfig,
         *,
         params=None,
@@ -95,13 +115,22 @@ class Trainer:
         param_sharding=None,
         batch_sharding=None,
     ):
+        """cfg: a GPTConfig or LlamaConfig (model family dispatched by
+        type; params initialized accordingly unless given)."""
+        from ..models import llama
+
         self.cfg = cfg
         self.tcfg = tcfg
         key = jax.random.PRNGKey(seed)
         self.init_key, self.rng = jax.random.split(key)
-        self.params = (
-            params if params is not None else gpt.init_params(self.init_key, cfg)
-        )
+        if params is None:
+            init = (
+                llama.init_params
+                if isinstance(cfg, llama.LlamaConfig)
+                else gpt.init_params
+            )
+            params = init(self.init_key, cfg)
+        self.params = params
         opt = make_optimizer(
             tcfg.learning_rate,
             weight_decay=tcfg.weight_decay,

@@ -132,3 +132,50 @@ def test_llama_decode_loop_matches_stepwise(params):
         toks1.append(t)
     c2, toks2 = llama.decode_loop(params, CFG, cache, first, 4)
     assert (jnp.stack(toks1) == toks2).all()
+
+
+def test_llama_trainer_reduces_loss():
+    """Trainer dispatches on config type: a LlamaConfig trains end-to-end
+    (init, fused CE loss, AdamW step) and the loss goes down."""
+    from flash_attention_tpu.training import Trainer, TrainerConfig
+
+    cfg = llama.LlamaConfig(
+        vocab_size=64, n_layer=2, n_head=2, n_kv_head=2, n_embd=32,
+        intermediate=64, max_seq=64, dtype=jnp.float32,
+    )
+    tcfg = TrainerConfig(
+        max_iters=8, log_interval=100, learning_rate=1e-3, warmup_iters=1
+    )
+    trainer = Trainer(cfg, tcfg, seed=0)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0, 64)
+    tgt = jax.random.randint(jax.random.PRNGKey(2), (2, 32), 0, 64)
+
+    def batches():
+        while True:
+            yield idx, tgt
+
+    history = trainer.fit(batches(), log=lambda s: None)
+    losses = [h["train_loss"] for h in history]
+    assert losses[-1] < losses[0], losses
+
+
+def test_llama_chunked_prefill_engine(params):
+    """Llama engine with chunked admission matches whole-prompt admission
+    (prefill_chunk_fn wired through the generic engine)."""
+    from flash_attention_tpu.inference import InferenceEngine
+
+    prompts = [[3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7], [2, 7, 1, 8]]
+
+    def run(chunk):
+        eng = InferenceEngine(
+            params, CFG, slots=2, max_len=64, scan_steps=2,
+            prefill_fn=llama.prefill,
+            decode_fn=llama.decode_step,
+            prefill_chunk_fn=llama.prefill_chunk,
+            chunk_prefill=chunk,
+        )
+        for p in prompts:
+            eng.submit(p, max_new_tokens=5)
+        return {r.uid: r.output for r in eng.run()}
+
+    assert run(None) == run(6)
