@@ -221,6 +221,17 @@ class Trainer:
         except Exception as exc:
             if metrics is not None:
                 metrics.summary({"error": repr(exc)})
+            # Crash-safe training: if checkpointing is configured, save the
+            # full state at the failure point so `resume()` can continue
+            # from the crash instead of the last periodic checkpoint.
+            # (Failure-handling extension — the reference only swallows the
+            # exception into its wandb summary, demo/train.py:275-279.)
+            if self.tcfg.checkpoint_dir is not None:
+                try:
+                    path = self.save()
+                    log(f"emergency checkpoint after {exc!r}: {path}")
+                except Exception as save_exc:  # noqa: BLE001
+                    log(f"emergency checkpoint FAILED: {save_exc!r}")
             raise
 
     def _fit(self, train_batches, val_batches, log, metrics) -> list[dict]:

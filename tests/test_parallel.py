@@ -252,3 +252,64 @@ def test_tp_inference_rejects_indivisible_heads():
     cache = init_cache(1, 1, 3, 64, cfg.head_dim, dtype=cfg.dtype)
     with pytest.raises(ValueError, match="not divisible"):
         shard_llama_for_inference(params, cache, make_mesh(model=4))
+
+
+def test_llama_dp_tp_train_step():
+    """Llama trains sharded: Megatron param specs (shared with TP serving)
+    + batch over the data axis; loss matches the single-device step."""
+    from flash_attention_tpu.models import llama
+    from flash_attention_tpu.parallel import llama_param_specs, make_mesh
+    from flash_attention_tpu.training import make_optimizer, make_train_step
+    from jax.sharding import NamedSharding
+
+    cfg = llama.LlamaConfig(
+        vocab_size=64, n_layer=2, n_head=4, n_kv_head=4, n_embd=32,
+        intermediate=64, max_seq=32, dtype=jnp.float32,
+    )
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-3, warmup_iters=1, lr_decay_iters=10)
+    opt_state = opt.init(params)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (4, 32), 0, 64)
+    tgt = jax.random.randint(jax.random.PRNGKey(2), (4, 32), 0, 64)
+    rng = jax.random.PRNGKey(3)
+
+    step = make_train_step(cfg, opt)
+    _, _, loss_ref = jax.jit(step)(params, opt_state, idx, tgt, rng)
+
+    mesh = make_mesh(data=2, model=4)
+    p_shard = jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        llama_param_specs(params),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    b_shard = NamedSharding(mesh, P("data"))
+    step_sharded = jax.jit(
+        step, in_shardings=(p_shard, None, b_shard, b_shard, None)
+    )
+    params_s = jax.tree.map(jax.device_put, params, p_shard)
+    new_params, _, loss = step_sharded(
+        params_s, opt_state, jax.device_put(idx, b_shard),
+        jax.device_put(tgt, b_shard), rng,
+    )
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+    # updated params keep their TP sharding
+    wq = new_params["blocks"][0]["wq"]
+    assert len({s.data.shape for s in wq.addressable_shards}) == 1
+    assert next(iter(wq.addressable_shards)).data.shape[1] == wq.shape[1] // 4
+
+
+def test_ring_attention_gqa():
+    """GQA rides through the ring: Hq != Hkv shards on L like MHA."""
+    from flash_attention_tpu.parallel import make_mesh, ring_attention
+
+    mesh = make_mesh(seq=8)
+    b, hq, hkv, l, d = 1, 4, 2, 512, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, hq, l, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, hkv, l, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, hkv, l, d), jnp.float32)
+    out = ring_attention(q, k, v, mesh, causal=True)
+    kk = jnp.repeat(k, hq // hkv, axis=1)
+    vv = jnp.repeat(v, hq // hkv, axis=1)
+    ref = vanilla_attention(q, kk, vv, causal=True, sm_scale=d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

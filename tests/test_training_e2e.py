@@ -112,3 +112,25 @@ def test_resume_matches_uninterrupted(tmp_path):
     assert history and history[-1]["iter"] == 7
     for a, c in zip(jax.tree.leaves(t_a.params), jax.tree.leaves(t_c.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+
+
+def test_emergency_checkpoint_on_crash(tmp_path):
+    """A mid-training exception must leave a full-state checkpoint at the
+    failure point (crash-safe training), from which resume() continues."""
+    t_a, batches, data, _ = _tiny_setup(max_iters=8)
+    t_a.tcfg.checkpoint_dir = str(tmp_path)
+
+    def crashing():
+        for i, b in enumerate(batches):
+            if i == 3:
+                raise RuntimeError("injected data failure")
+            yield b
+
+    with pytest.raises(RuntimeError, match="injected"):
+        t_a.fit(crashing(), log=lambda s: None)
+    assert t_a.step == 3  # three steps completed before the crash
+
+    t_b, _, _, _ = _tiny_setup(max_iters=8)
+    assert t_b.resume(str(tmp_path)) == 3
+    for a, b in zip(jax.tree.leaves(t_a.params), jax.tree.leaves(t_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
