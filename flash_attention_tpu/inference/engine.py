@@ -43,6 +43,9 @@ class Request:
     top_k: int | None = None
     top_p: float | None = None  # nucleus sampling (1.0 disables)
     eos_id: int | None = None
+    # streaming: called with (request, token) as tokens are accepted by the
+    # scheduler (batched per decode scan, not per device step)
+    on_token: Callable | None = None
     # filled by the engine
     output: list[int] = dataclasses.field(default_factory=list)
     submit_time: float = 0.0
@@ -199,6 +202,7 @@ class InferenceEngine:
         top_k: int | None = None,
         top_p: float | None = None,
         eos_id: int | None = None,
+        on_token: Callable | None = None,
     ) -> int:
         if not prompt:
             raise ValueError("prompt must contain at least one token")
@@ -210,6 +214,7 @@ class InferenceEngine:
             temperature=temperature,
             top_k=top_k,
             top_p=top_p,
+            on_token=on_token,
             eos_id=eos_id,
             submit_time=time.time(),
         )
@@ -280,6 +285,8 @@ class InferenceEngine:
         tok = self._sample_one(logits, req)
         req.first_token_time = time.time()
         req.output.append(int(tok))
+        if req.on_token is not None:
+            req.on_token(req, int(tok))
         self._next_tokens_dev = self._next_tokens_dev.at[slot].set(tok)
         self._slot_cfg = None  # running set changes: rebuild on device
         self.stats["prefills"] += 1
@@ -391,6 +398,8 @@ class InferenceEngine:
             for step in range(self.scan_steps):
                 tok = int(toks[step, slot])
                 req.output.append(tok)
+                if req.on_token is not None:
+                    req.on_token(req, tok)
                 self.stats["tokens_out"] += 1
                 hit_eos = req.eos_id is not None and tok == req.eos_id
                 cache_full = (

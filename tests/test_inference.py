@@ -254,3 +254,21 @@ def test_top_p_sampling_restricts_support(params):
         top_p=jnp.asarray([0.7, 1.0]),
     )
     assert int(toks[0]) in (0, 1)
+
+
+def test_engine_streaming_callback(params):
+    """on_token streams every accepted token in order, including the
+    prompt's first token from admission."""
+    streamed = {}
+    eng = InferenceEngine(params, CFG, slots=2, max_len=256, scan_steps=2)
+
+    def cb(req, tok):
+        streamed.setdefault(req.uid, []).append(tok)
+
+    uids = [
+        eng.submit([1, 2, 3], max_new_tokens=5, on_token=cb),
+        eng.submit([4, 5], max_new_tokens=5, on_token=cb),
+    ]
+    done = {r.uid: r.output for r in eng.run()}
+    for uid in uids:
+        assert streamed[uid] == done[uid], (streamed[uid], done[uid])
