@@ -129,19 +129,33 @@ def _run(args: argparse.Namespace):
     if args.compile_cache:
         enable_compilation_cache(args.compile_cache)
 
-    if args.data:
-        text = pathlib.Path(args.data).read_text()
+    if args.data and args.data.endswith(".bin"):
+        # nanoGPT-style pre-tokenized uint16 corpus, memory-mapped (the
+        # reference's train.bin path, demo/train.py:175-180); vocab size
+        # from the data itself.  Text sampling is skipped (no tokenizer).
+        from flash_attention_tpu.data import load_bin
+
+        data = load_bin(args.data)
+        tok = None
+        vocab = int(data.max()) + 1
+        split = int(0.9 * len(data))
+        train_data, val_data = data[:split], data[split:]
+        print(f"corpus: {len(data)} tokens (mmap), vocab {vocab}")
     else:
-        print("no --data given; using synthetic corpus")
-        text = synthetic_corpus()
-    tok = CharTokenizer(text)
-    data = tok.encode(text)
-    split = int(0.9 * len(data))
-    train_data, val_data = data[:split], data[split:]
-    print(f"corpus: {len(data)} tokens, vocab {tok.vocab_size}")
+        if args.data:
+            text = pathlib.Path(args.data).read_text()
+        else:
+            print("no --data given; using synthetic corpus")
+            text = synthetic_corpus()
+        tok = CharTokenizer(text)
+        data = tok.encode(text)
+        vocab = tok.vocab_size
+        split = int(0.9 * len(data))
+        train_data, val_data = data[:split], data[split:]
+        print(f"corpus: {len(data)} tokens, vocab {tok.vocab_size}")
 
     cfg = gpt.GPTConfig(
-        vocab_size=max(tok.vocab_size, 8),
+        vocab_size=max(vocab, 8),
         block_size=args.block_size,
         n_layer=args.n_layer,
         n_head=args.n_head,
@@ -210,13 +224,15 @@ def _run(args: argparse.Namespace):
     if args.plot and history:
         plot_losses(history, outdir / "loss_curve.png")
         print(f"loss curve: {outdir / 'loss_curve.png'}")
-    # sample a little text
-    start = jnp.asarray(tok.encode(text[:8])[None, :].astype(np.int32))
-    sample_ids = gpt.generate(
-        trainer.params, start, cfg, max_new_tokens=100,
-        temperature=0.8, top_k=20, rng=jax.random.PRNGKey(42),
-    )
-    print("sample:", tok.decode(np.asarray(sample_ids[0], np.uint16)))
+    # sample a little text (char-tokenized corpora only; .bin corpora have
+    # no tokenizer to decode with)
+    if tok is not None:
+        start = jnp.asarray(tok.encode(text[:8])[None, :].astype(np.int32))
+        sample_ids = gpt.generate(
+            trainer.params, start, cfg, max_new_tokens=100,
+            temperature=0.8, top_k=20, rng=jax.random.PRNGKey(42),
+        )
+        print("sample:", tok.decode(np.asarray(sample_ids[0], np.uint16)))
     return trainer, history
 
 

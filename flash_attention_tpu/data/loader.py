@@ -121,6 +121,19 @@ class CharTokenizer:
         )
 
 
+def save_bin(path, ids: np.ndarray) -> None:
+    """Write token ids as a raw uint16 .bin (nanoGPT's train.bin format —
+    the reference mmaps exactly this, demo/train.py:175-180)."""
+    np.asarray(ids, np.uint16).tofile(str(path))
+
+
+def load_bin(path) -> np.ndarray:
+    """Memory-map a uint16 token .bin: corpora larger than RAM stream
+    through sample_batch without a copy (np.memmap is contiguous, so the
+    native sampler reads pages straight from the file cache)."""
+    return np.memmap(str(path), dtype=np.uint16, mode="r")
+
+
 def sample_batch(
     data: np.ndarray, seed: int, batch: int, block: int
 ) -> tuple[np.ndarray, np.ndarray]:

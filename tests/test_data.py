@@ -62,3 +62,21 @@ def test_sample_batch_rejects_tiny_corpus():
     """Review finding: native path segfaulted on corpora <= block tokens."""
     with pytest.raises(ValueError, match="block"):
         sample_batch(np.arange(10, dtype=np.uint16), seed=0, batch=2, block=16)
+
+
+def test_bin_roundtrip_and_mmap_sampling(tmp_path):
+    """save_bin/load_bin: uint16 .bin round-trips and the memmap feeds
+    sample_batch without copying (the reference's train.bin workflow)."""
+    import numpy as np
+
+    from flash_attention_tpu.data import load_bin, sample_batch, save_bin
+
+    ids = np.arange(5000, dtype=np.uint16) % 97
+    path = tmp_path / "train.bin"
+    save_bin(path, ids)
+    mm = load_bin(path)
+    assert isinstance(mm, np.memmap)
+    np.testing.assert_array_equal(np.asarray(mm), ids)
+    x, y = sample_batch(mm, seed=3, batch=4, block=16)
+    assert x.shape == (4, 16) and y.shape == (4, 16)
+    np.testing.assert_array_equal(x[:, 1:], y[:, :-1])  # y is x shifted
