@@ -306,12 +306,14 @@ def bench_speculative(slots=8, ctx=512, n_iters=24, k=4) -> dict:
             c.n_layer, slots, c.kv_heads, c.block_size, c.head_dim, dtype=c.dtype
         )
 
-    import dataclasses as _dc
-
     # warm by lengths only (serialized per-slot prefills cost ~30 ms each
     # through the tunnel; mechanism timing doesn't need real context)
-    ct = _dc.replace(make_cache(cfg), lengths=jnp.full((slots,), ctx, jnp.int32))
-    cd = _dc.replace(make_cache(dcfg), lengths=jnp.full((slots,), ctx, jnp.int32))
+    ct = dataclasses.replace(
+        make_cache(cfg), lengths=jnp.full((slots,), ctx, jnp.int32)
+    )
+    cd = dataclasses.replace(
+        make_cache(dcfg), lengths=jnp.full((slots,), ctx, jnp.int32)
+    )
     first = jnp.zeros((slots,), jnp.int32)
 
     # params must be ARGUMENTS (closure capture would bake 500 MB of

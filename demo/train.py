@@ -107,6 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attention", choices=["flash", "dense"], default="flash")
     p.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
     p.add_argument(
+        "--vocab-size", type=int, default=None,
+        help=".bin corpora: vocab size (skips the full-mmap max() scan "
+             "and covers ids absent from the data)",
+    )
+    p.add_argument(
         "--remat", action="store_true",
         help="checkpoint each block (trade recompute for activation memory)",
     )
@@ -137,7 +142,7 @@ def _run(args: argparse.Namespace):
 
         data = load_bin(args.data)
         tok = None
-        vocab = int(data.max()) + 1
+        vocab = args.vocab_size or int(data.max()) + 1
         split = int(0.9 * len(data))
         train_data, val_data = data[:split], data[split:]
         print(f"corpus: {len(data)} tokens (mmap), vocab {vocab}")

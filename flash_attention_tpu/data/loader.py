@@ -123,8 +123,16 @@ class CharTokenizer:
 
 def save_bin(path, ids: np.ndarray) -> None:
     """Write token ids as a raw uint16 .bin (nanoGPT's train.bin format —
-    the reference mmaps exactly this, demo/train.py:175-180)."""
-    np.asarray(ids, np.uint16).tofile(str(path))
+    the reference mmaps exactly this, demo/train.py:175-180).  Ids must fit
+    uint16; a >=64k vocab (e.g. Llama-3 BPE) would otherwise silently wrap
+    and corrupt the corpus."""
+    arr = np.asarray(ids)
+    if arr.size and (arr.min() < 0 or arr.max() > np.iinfo(np.uint16).max):
+        raise ValueError(
+            f"token ids outside uint16 range [{arr.min()}, {arr.max()}]: "
+            "the .bin format stores uint16; use a <=65536-entry vocab"
+        )
+    arr.astype(np.uint16).tofile(str(path))
 
 
 def load_bin(path) -> np.ndarray:

@@ -141,13 +141,19 @@ class InferenceEngine:
             lambda p, toks, cache, active: _decode_impl(p, toks, cfg, cache, active)
         )
 
-        def _scan(p, cache, first_toks, active, rng, temps, topks, topps, sampling):
+        def _scan(
+            p, cache, first_toks, active, rng, temps, topks, topps,
+            sampling, use_top_p,
+        ):
             def body(carry, _):
                 cache, toks, rng = carry
                 cache, logits = _decode_impl(p, toks, cfg, cache, active)
                 if sampling:
                     rng, sub = jax.random.split(rng)
-                    nxt = sample_tokens(logits, sub, temps, topks, topps)
+                    nxt = sample_tokens(
+                        logits, sub, temps, topks,
+                        topps if use_top_p else None,
+                    )
                 else:
                     # all-greedy fast path: skips the full-vocab top-k sort
                     nxt = jnp.argmax(logits, axis=-1)
@@ -161,7 +167,7 @@ class InferenceEngine:
             )
             return cache, toks, rng
 
-        self._decode_scan = jax.jit(_scan, static_argnums=(8,))
+        self._decode_scan = jax.jit(_scan, static_argnums=(8, 9))
         self.chunk_prefill = chunk_prefill
         _chunk_impl = prefill_chunk_fn or (
             prefill_chunk if prefill_fn is None else None
@@ -376,8 +382,9 @@ class InferenceEngine:
                 jnp.asarray(topks),
                 jnp.asarray(topps),
                 bool((temps > 0).any()),
+                bool((topps < 1.0).any()),  # skip nucleus work when unused
             )
-        active_d, temps_d, topks_d, topps_d, sampling = self._slot_cfg
+        active_d, temps_d, topks_d, topps_d, sampling, use_top_p = self._slot_cfg
         self.cache, toks_dev, self._rng = self._decode_scan(
             self.params,
             self.cache,
@@ -388,6 +395,7 @@ class InferenceEngine:
             topks_d,
             topps_d,
             sampling,
+            use_top_p,
         )
         self._next_tokens_dev = toks_dev[-1]
         toks = np.asarray(toks_dev)  # [scan_steps, slots] — one D2H per scan

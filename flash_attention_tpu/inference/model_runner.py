@@ -89,40 +89,57 @@ def prefill(
     return cache, logits
 
 
-def _chunk_attention(q, cache, layer, slot, start):
-    """Dense attention of a prompt chunk against its slot's cached prefix
-    plus itself (already written): q [1, Hq, C, D]; row c of the chunk sits
-    at absolute position start + c and sees cache entries [0, start + c].
+def _offset_attention(q, k, v, k_scale, v_scale, starts):
+    """Dense multi-token decode attention at per-slot offsets — the single
+    core behind chunked prefill and the speculative verify step.
 
-    Dense is the right tool here: C x max_len scores are small (chunks are
-    a few hundred tokens) and the visibility offset `start` is traced,
-    which the static-shape flash grid cannot express.
+    q [S, Hq, C, D]; k/v [Hkv, S, L, D] (cache layout, possibly quantized
+    with k_scale/v_scale [Hkv, S, L]); starts [S].  Row c of slot s sits
+    at absolute position starts[s] + c and sees cache entries up to it.
+    Scaling order matches decode_attention (fp32 scores scaled AFTER the
+    matmul) so single-token decode and multi-token scoring agree to the
+    rounding of the batched-vs-rank-1 matmul reductions.  Dense is the
+    right tool: C x max_len scores are small and the traced offset is
+    inexpressible in the static flash grid.
     """
-    _, hq, c, d = q.shape
-    hkv = cache.kv_heads
+    s, hq, c, d = q.shape
+    hkv = k.shape[0]
     group = hq // hkv
-    q4 = q[0].reshape(hkv, group, c, d) * (float(d) ** -0.5)
-    k, v = cache.k[layer][:, slot], cache.v[layer][:, slot]  # [hkv, L, D]
+    q5 = q.reshape(s, hkv, group, c, d)
     scores = jnp.einsum(
-        "hgcd,hld->hgcl", q4, k.astype(q.dtype),
+        "shgcd,hsld->shgcl", q5, k.astype(q.dtype),
         preferred_element_type=jnp.float32,
-    )
-    if cache.quantized:
-        scores = scores * cache.k_scale[layer][:, slot][:, None, None, :]
-    row = jnp.arange(c)[:, None]
-    col = jnp.arange(cache.max_len)[None, :]
-    visible = col <= start + row  # [C, L]
+    ) * (float(d) ** -0.5)
+    if k_scale is not None:
+        scores = scores * jnp.swapaxes(k_scale, 0, 1)[:, :, None, None, :]
+    row = jnp.arange(c)[None, :, None]
+    col = jnp.arange(k.shape[2])[None, None, :]
+    visible = col <= starts[:, None, None] + row  # [S, C, L]
     from ..kernels.vanilla import DEFAULT_MASK_VALUE
 
-    scores = jnp.where(visible[None, None], scores, DEFAULT_MASK_VALUE)
+    scores = jnp.where(visible[:, None, None], scores, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(scores, axis=-1)
-    if cache.quantized:
-        p = p * cache.v_scale[layer][:, slot][:, None, None, :]
+    if v_scale is not None:
+        p = p * jnp.swapaxes(v_scale, 0, 1)[:, :, None, None, :]
     out = jnp.einsum(
-        "hgcl,hld->hgcd", p.astype(q.dtype), v.astype(q.dtype),
+        "shgcl,hsld->shgcd", p.astype(q.dtype), v.astype(q.dtype),
         preferred_element_type=jnp.float32,
     )
-    return out.reshape(1, hq, c, d).astype(q.dtype)
+    return out.reshape(s, hq, c, d).astype(q.dtype)
+
+
+def _chunk_attention(q, cache, layer, slot, start):
+    """One-slot view of _offset_attention (chunked prefill): q [1, Hq, C, D]
+    against slot `slot`'s cached prefix + itself at offset `start`."""
+    take = lambda a: jnp.take(a, slot, axis=1)[:, None]  # noqa: E731
+    return _offset_attention(
+        q,
+        take(cache.k[layer]),
+        take(cache.v[layer]),
+        take(cache.k_scale[layer]) if cache.quantized else None,
+        take(cache.v_scale[layer]) if cache.quantized else None,
+        jnp.asarray(start, jnp.int32)[None],
+    )
 
 
 def prefill_chunk(
@@ -170,38 +187,15 @@ def prefill_chunk(
 
 
 def _verify_attention(q, cache, layer, starts):
-    """Batched multi-token decode attention: q [S, Hq, C, D] where slot s's
-    row c sits at absolute position starts[s] + c and sees cache entries
-    [0, starts[s] + c].  The speculative-decoding verify step: C is the
-    draft window (a handful of tokens), so dense C x max_len scores are
-    cheap and the per-slot dynamic offset stays expressible."""
-    s, hq, c, d = q.shape
-    hkv = cache.kv_heads
-    group = hq // hkv
-    q5 = q.reshape(s, hkv, group, c, d) * (float(d) ** -0.5)
-    k, v = cache.k[layer], cache.v[layer]  # [hkv, S, L, D]
-    scores = jnp.einsum(
-        "shgcd,hsld->shgcl", q5, k.astype(q.dtype),
-        preferred_element_type=jnp.float32,
+    """All-slots view of _offset_attention (speculative verify step)."""
+    return _offset_attention(
+        q,
+        cache.k[layer],
+        cache.v[layer],
+        cache.k_scale[layer] if cache.quantized else None,
+        cache.v_scale[layer] if cache.quantized else None,
+        starts,
     )
-    if cache.quantized:
-        scores = scores * jnp.swapaxes(cache.k_scale[layer], 0, 1)[
-            :, :, None, None, :
-        ]
-    row = jnp.arange(c)[None, :, None]
-    col = jnp.arange(cache.max_len)[None, None, :]
-    visible = col <= starts[:, None, None] + row  # [S, C, L]
-    from ..kernels.vanilla import DEFAULT_MASK_VALUE
-
-    scores = jnp.where(visible[:, None, None], scores, DEFAULT_MASK_VALUE)
-    p = jax.nn.softmax(scores, axis=-1)
-    if cache.quantized:
-        p = p * jnp.swapaxes(cache.v_scale[layer], 0, 1)[:, :, None, None, :]
-    out = jnp.einsum(
-        "shgcl,hsld->shgcd", p.astype(q.dtype), v.astype(q.dtype),
-        preferred_element_type=jnp.float32,
-    )
-    return out.reshape(s, hq, c, d).astype(q.dtype)
 
 
 def verify_step(

@@ -6,12 +6,17 @@ import jax
 import jax.numpy as jnp
 
 
-def _top_p_filter(scaled: jax.Array, top_p: jax.Array) -> jax.Array:
+def _top_p_filter(
+    scaled: jax.Array, top_p: jax.Array, sorted_desc: jax.Array | None = None
+) -> jax.Array:
     """Mask logits outside the nucleus: keep the smallest set of tokens
     whose cumulative probability reaches top_p [batch] (the highest-prob
-    token always survives).  scaled [batch, vocab] (already /temperature).
+    token always survives).  scaled [batch, vocab] (already /temperature);
+    pass `sorted_desc` to reuse an existing descending sort (the full-vocab
+    sort dominates the cost).
     """
-    sorted_desc = -jnp.sort(-scaled, axis=-1)
+    if sorted_desc is None:
+        sorted_desc = -jnp.sort(-scaled, axis=-1)
     probs = jax.nn.softmax(sorted_desc, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     # number of kept tokens: first index where cumsum >= p, inclusive
@@ -65,6 +70,12 @@ def sample_tokens(
     kth = jnp.take_along_axis(sorted_desc, (k - 1)[:, None], axis=-1)
     filtered = jnp.where(scaled < kth, -jnp.inf, scaled)
     if top_p is not None:
-        filtered = _top_p_filter(filtered, jnp.clip(top_p, 1e-6, 1.0))
+        # reuse sorted_desc with the top-k filter folded in: entries past
+        # each slot's k become -inf, which sort to the tail anyway
+        col = jnp.arange(vocab)[None, :]
+        sorted_f = jnp.where(col < k[:, None], sorted_desc, -jnp.inf)
+        filtered = _top_p_filter(
+            filtered, jnp.clip(top_p, 1e-6, 1.0), sorted_desc=sorted_f
+        )
     sampled = jax.random.categorical(rng, filtered, axis=-1)
     return jnp.where(temperature <= 0.0, greedy, sampled)

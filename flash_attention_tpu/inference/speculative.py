@@ -2,11 +2,19 @@
 
 North-star serving extension (no reference analog — the reference has no
 inference engine at all, SURVEY.md §5).  Greedy speculative decoding with a
-draft window of k produces OUTPUT IDENTICAL to target-only greedy decoding
+draft window of k produces output identical to target-only greedy decoding
 (the accept test compares the draft's tokens against the target's own
 argmax at every prefix), while the target model runs once per k+1 emitted
 tokens in the best case instead of once per token — the win when decode is
 bound by the target's per-step weight streaming.
+
+Exactness caveat: the verify step scores C rows in one batched forward
+while decode_loop scores one row at a time; the math and scaling order are
+identical (see model_runner._offset_attention) but batched-vs-rank-1
+matmul reductions round differently, so in bf16 a step whose top-2 logits
+are within rounding distance can pick a different (equally-ranked) token
+than decode_loop would.  In fp32 the equality is exact in practice (the
+test suite pins it).
 
 TPU-native structure: the whole loop is ONE `lax.scan` dispatch — a k+1
 step draft scan (the extra step writes the last draft token's KV so a
@@ -49,13 +57,21 @@ def speculative_decode_loop(
     Preconditions: both caches hold the SAME accepted history (same prompts
     prefilled into both models), with equal `lengths`, and `first_tokens`
     [S] is the last accepted token per slot (not yet written to either
-    cache — the next step writes it, exactly like `decode_loop`).
+    cache — the next step writes it, exactly like `decode_loop`).  The
+    draft cache must have at least the target cache's capacity (checked).
 
     Returns (target_cache, draft_cache, tokens [n_iters, S, k+1], counts
     [n_iters, S]): iteration i emitted tokens[i, s, :counts[i, s]] for
     slot s; the rest of the row is PAD.  Total emitted per slot is
     sum(counts[:, s]) — between n_iters and n_iters * (k + 1).
     """
+
+    if draft_cache.max_len < target_cache.max_len:
+        raise ValueError(
+            f"draft cache max_len {draft_cache.max_len} < target "
+            f"{target_cache.max_len}: the shared lengths would exceed the "
+            "draft cache and silently corrupt its attention masking"
+        )
 
     def body(carry, _):
         cache_t, cache_d, cur = carry

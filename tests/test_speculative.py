@@ -70,3 +70,73 @@ def test_speculative_matches_vanilla_greedy(params, self_draft, quant):
         assert int(jnp.min(counts)) == k + 1
     # caches stay aligned
     assert (ct2.lengths == cd2.lengths).all()
+
+
+def test_speculative_gqa_matches_vanilla_greedy():
+    """GQA target + GQA draft (group > 1 through the verify attention)."""
+    cfg = gpt.GPTConfig(
+        vocab_size=64, block_size=256, n_layer=2, n_head=4, n_kv_head=2,
+        n_embd=64, dropout=0.0, dtype=jnp.float32,
+    )
+    dcfg = gpt.GPTConfig(
+        vocab_size=64, block_size=256, n_layer=1, n_head=4, n_kv_head=1,
+        n_embd=32, dropout=0.0, dtype=jnp.float32,
+    )
+    params = gpt.init_params(jax.random.PRNGKey(3), cfg)
+    dparams = gpt.init_params(jax.random.PRNGKey(4), dcfg)
+    s = 2
+    prompts = [[3, 1, 4], [9, 2, 6, 5]]
+
+    def prefill_both():
+        ct = init_cache(cfg.n_layer, s, cfg.kv_heads, 256, cfg.head_dim, dtype=cfg.dtype)
+        cd = init_cache(dcfg.n_layer, s, dcfg.kv_heads, 256, dcfg.head_dim, dtype=dcfg.dtype)
+        firsts = []
+        for slot, p in enumerate(prompts):
+            ct, logits = prefill(params, jnp.asarray(p, jnp.int32), cfg, ct, jnp.int32(slot))
+            cd, _ = prefill(dparams, jnp.asarray(p, jnp.int32), dcfg, cd, jnp.int32(slot))
+            firsts.append(int(jnp.argmax(logits)))
+        return ct, cd, jnp.asarray(firsts, jnp.int32)
+
+    ct, cd, first = prefill_both()
+    ct_ref, _, _ = prefill_both()
+    _, ref_toks = decode_loop(params, cfg, ct_ref, first, 10)
+    _, _, toks, counts = speculative_decode_loop(
+        params, cfg, ct, dparams, dcfg, cd, first, n_iters=10, k=3
+    )
+    for slot in range(s):
+        ref = [int(x) for x in ref_toks[:, slot]]
+        assert gather_tokens(toks, counts, slot, limit=10) == ref
+
+
+def test_speculative_bf16_smoke():
+    """bf16 models: the mechanism runs, caches stay aligned, emitted tokens
+    are valid ids (exact greedy equality is pinned only in fp32 — batched
+    vs rank-1 bf16 reductions can legitimately break argmax near-ties)."""
+    cfg = gpt.GPTConfig(
+        vocab_size=64, block_size=128, n_layer=2, n_head=2, n_embd=64,
+        dropout=0.0, dtype=jnp.bfloat16,
+    )
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    s = 2
+    ct = init_cache(cfg.n_layer, s, cfg.kv_heads, 128, cfg.head_dim, dtype=cfg.dtype)
+    cd = init_cache(cfg.n_layer, s, cfg.kv_heads, 128, cfg.head_dim, dtype=cfg.dtype)
+    first = jnp.asarray([1, 2], jnp.int32)
+    ct2, cd2, toks, counts = speculative_decode_loop(
+        params, cfg, ct, params, cfg, cd, first, n_iters=4, k=3
+    )
+    assert (ct2.lengths == cd2.lengths).all()
+    assert int(counts.min()) >= 1 and int(counts.max()) <= 4
+    for slot in range(s):
+        got = gather_tokens(toks, counts, slot)
+        assert all(0 <= t < 64 for t in got)
+
+
+def test_speculative_rejects_small_draft_cache(params):
+    from flash_attention_tpu.inference.speculative import (
+        speculative_decode_loop as sdl,
+    )
+
+    ct = init_cache(CFG.n_layer, 1, CFG.kv_heads, 256, CFG.head_dim, dtype=CFG.dtype)
+    cd = init_cache(CFG.n_layer, 1, CFG.kv_heads, 128, CFG.head_dim, dtype=CFG.dtype)
+    with pytest.raises(ValueError, match="draft cache max_len"):
+        sdl(params, CFG, ct, params, CFG, cd, jnp.asarray([1], jnp.int32), 2)
