@@ -85,6 +85,9 @@ class InferenceEngine:
         scan_steps: int = 8,
         chunk_prefill: int | None = None,
         prefill_chunk_fn=None,
+        draft_params=None,
+        draft_cfg=None,
+        spec_k: int = 4,
     ):
         """cfg: a GPTConfig (default architecture) or any config whose
         (n_layer, head_dim, dtype) fields exist; for non-GPT architectures
@@ -108,7 +111,14 @@ class InferenceEngine:
         prefill dispatch is long enough to visibly stall decode (large
         models / long prompts); at small-model scale the slot time spent
         prefilling across several scheduler steps costs more than the
-        blocking it avoids (measured — see BASELINE.md)."""
+        blocking it avoids (measured — see BASELINE.md).
+
+        draft_params/draft_cfg: attach a draft model for speculative
+        decoding (GPT-architecture path only).  While EVERY running request
+        is greedy, decode scans route through speculative_decode_loop (the
+        draft proposes spec_k tokens, the target verifies in one forward);
+        any sampled request falls back to the regular scan.  Greedy output
+        is identical either way (fp32-exact; see speculative.py)."""
         self.params = params
         self.cfg = cfg
         self.slots = slots
@@ -168,6 +178,39 @@ class InferenceEngine:
             return cache, toks, rng
 
         self._decode_scan = jax.jit(_scan, static_argnums=(8, 9))
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        self.spec_k = spec_k
+        if draft_params is not None:
+            if prefill_fn is not None or decode_fn is not None:
+                raise ValueError(
+                    "speculative decoding is wired for the GPT path only"
+                )
+            dkv = (
+                draft_cfg.kv_heads
+                if hasattr(draft_cfg, "kv_heads")
+                else draft_cfg.n_kv_head
+            )
+            self.draft_cache = kvc.init_cache(
+                draft_cfg.n_layer, slots, dkv, self.max_len,
+                draft_cfg.head_dim, dtype=draft_cfg.dtype,
+            )
+            self._draft_prefill = jax.jit(
+                lambda p, toks, cache, slot, n: prefill(
+                    p, toks, draft_cfg, cache, slot, n
+                )
+            )
+            from .speculative import speculative_decode_loop
+
+            n_spec_iters = max(1, self.scan_steps // (spec_k + 1))
+
+            def _spec(tp, dp, ct, cd, first):
+                return speculative_decode_loop(
+                    tp, cfg, ct, dp, draft_cfg, cd, first,
+                    n_iters=n_spec_iters, k=spec_k,
+                )
+
+            self._spec_scan = jax.jit(_spec)
         self.chunk_prefill = chunk_prefill
         _chunk_impl = prefill_chunk_fn or (
             prefill_chunk if prefill_fn is None else None
@@ -280,8 +323,72 @@ class InferenceEngine:
                 jnp.int32(slot),
                 jnp.int32(n),
             )
+            if self.draft_params is not None:
+                self.draft_cache, _ = self._draft_prefill(
+                    self.draft_params,
+                    jnp.asarray(toks),
+                    self.draft_cache,
+                    jnp.int32(slot),
+                    jnp.int32(n),
+                )
             if not self._finish_admission(slot, req, logits):
                 free.insert(0, slot)  # finished on its first token
+
+    def _all_running_greedy(self) -> bool:
+        return all(r.temperature <= 0.0 for r in self.running.values())
+
+    def _decode_speculative(self) -> None:
+        """Route one decode round through the draft-verify loop.  Inactive
+        slots compute garbage and their lengths drift, which is safe: the
+        scheduler ignores their tokens and admission prefill resets both
+        caches' rows and lengths for the slot."""
+        from .speculative import PAD, gather_tokens
+
+        self.cache, self.draft_cache, toks_dev, counts_dev = self._spec_scan(
+            self.params,
+            self.draft_params,
+            self.cache,
+            self.draft_cache,
+            self._next_tokens_dev,
+        )
+        toks = np.asarray(toks_dev)  # [iters, S, k+1]
+        counts = np.asarray(counts_dev)  # [iters, S]
+        self.stats["decode_steps"] += int(counts.shape[0]) * (self.spec_k + 1)
+        self.stats["spec_rounds"] = self.stats.get("spec_rounds", 0) + 1
+        done: list[int] = []
+        next_toks = np.array(self._next_tokens_dev)  # writable copy
+        for slot, req in self.running.items():
+            emitted = gather_tokens(toks, counts, slot)
+            finished = False
+            for tok in emitted:
+                req.output.append(tok)
+                if req.on_token is not None:
+                    req.on_token(req, tok)
+                self.stats["tokens_out"] += 1
+                hit_eos = req.eos_id is not None and tok == req.eos_id
+                cache_full = (
+                    len(req.prompt) + len(req.output) >= self.max_len - self.spec_k - 1
+                )
+                if (
+                    len(req.output) >= req.max_new_tokens
+                    or hit_eos
+                    or cache_full
+                ):
+                    finished = True
+                    break
+            if finished:
+                req.finish_time = time.time()
+                self.finished.append(req)
+                done.append(slot)
+            elif emitted:
+                next_toks[slot] = emitted[-1]
+        # Truncated slots (finished mid-round) have stale device lengths;
+        # admission prefill resets them, so only the carry tokens matter.
+        self._next_tokens_dev = jnp.asarray(next_toks)
+        for slot in done:
+            del self.running[slot]
+        if done:
+            self._slot_cfg = None
 
     def _finish_admission(self, slot: int, req: Request, logits) -> bool:
         """Sample the prompt's first token and move the request into the
@@ -339,6 +446,19 @@ class InferenceEngine:
                 self.prefilling[slot][1] = pos
                 continue
             del self.prefilling[slot]
+            if self.draft_params is not None:
+                # draft models are small: one whole-prompt draft prefill at
+                # chunk completion keeps the caches aligned
+                bucket = self._bucket_len(n)
+                dtoks = np.full((bucket,), req.prompt[-1], np.int32)
+                dtoks[:n] = req.prompt
+                self.draft_cache, _ = self._draft_prefill(
+                    self.draft_params,
+                    jnp.asarray(dtoks),
+                    self.draft_cache,
+                    jnp.int32(slot),
+                    jnp.int32(n),
+                )
             self._finish_admission(slot, req, logits)
 
     def _sample_one(self, logits: jax.Array, req: Request) -> int:
@@ -356,6 +476,9 @@ class InferenceEngine:
     def _decode_all(self) -> None:
         """Generate up to scan_steps tokens per running slot in ONE dispatch.
 
+        With a draft model attached and an all-greedy running set, the
+        round goes through the speculative draft-verify loop instead.
+
         Sampling happens on-device inside the scan (per-slot temperature /
         top_k), so the host only sees the [scan_steps, slots] token block.
         Requests finishing mid-scan (eos / max_new_tokens / cache full)
@@ -363,6 +486,9 @@ class InferenceEngine:
         host-side and the slot is retired — a few wasted device steps buy
         the removal of the ~ms-scale per-token dispatch latency.
         """
+        if self.draft_params is not None and self._all_running_greedy():
+            self._decode_speculative()
+            return
         if self._slot_cfg is None:
             active = np.zeros((self.slots,), bool)
             temps = np.zeros((self.slots,), np.float32)

@@ -140,3 +140,41 @@ def test_speculative_rejects_small_draft_cache(params):
     cd = init_cache(CFG.n_layer, 1, CFG.kv_heads, 128, CFG.head_dim, dtype=CFG.dtype)
     with pytest.raises(ValueError, match="draft cache max_len"):
         sdl(params, CFG, ct, params, CFG, cd, jnp.asarray([1], jnp.int32), 2)
+
+
+def test_engine_with_draft_matches_plain_engine(params):
+    """The engine with a draft model attached (all-greedy workload) must
+    produce the same outputs as the plain engine, while actually using the
+    speculative path."""
+    from flash_attention_tpu.inference import InferenceEngine
+
+    dparams = gpt.init_params(jax.random.PRNGKey(9), DRAFT)
+    prompts = [[3, 1, 4, 1, 5], [9, 2, 6], [2, 7, 1, 8, 2, 8]]
+
+    def run(**kw):
+        eng = InferenceEngine(params, CFG, slots=2, max_len=256, scan_steps=8, **kw)
+        for p in prompts:
+            eng.submit(p, max_new_tokens=7)
+        out = {r.uid: r.output for r in eng.run()}
+        return out, eng.stats
+
+    plain, _ = run()
+    spec, stats = run(draft_params=dparams, draft_cfg=DRAFT, spec_k=3)
+    assert plain == spec, (plain, spec)
+    assert stats.get("spec_rounds", 0) > 0
+
+
+def test_engine_draft_falls_back_for_sampled_requests(params):
+    """A sampled request in the running set must route the round through
+    the regular scan (speculative decoding is greedy-only)."""
+    from flash_attention_tpu.inference import InferenceEngine
+
+    dparams = gpt.init_params(jax.random.PRNGKey(9), DRAFT)
+    eng = InferenceEngine(
+        params, CFG, slots=2, max_len=256, scan_steps=4,
+        draft_params=dparams, draft_cfg=DRAFT, spec_k=3,
+    )
+    eng.submit([1, 2, 3], max_new_tokens=6, temperature=0.8, top_k=4)
+    done = eng.run()
+    assert len(done) == 1 and len(done[0].output) == 6
+    assert eng.stats.get("spec_rounds", 0) == 0
