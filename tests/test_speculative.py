@@ -178,3 +178,24 @@ def test_engine_draft_falls_back_for_sampled_requests(params):
     done = eng.run()
     assert len(done) == 1 and len(done[0].output) == 6
     assert eng.stats.get("spec_rounds", 0) == 0
+
+
+def test_engine_draft_with_chunked_prefill(params):
+    """Chunked admission + speculative decode compose: the draft cache gets
+    one whole-prompt prefill at chunk completion and outputs still match."""
+    from flash_attention_tpu.inference import InferenceEngine
+
+    dparams = gpt.init_params(jax.random.PRNGKey(9), DRAFT)
+    prompts = [list(range(1, 20)), [5, 4, 3]]
+
+    def run(**kw):
+        eng = InferenceEngine(params, CFG, slots=2, max_len=64, scan_steps=8, **kw)
+        for p in prompts:
+            eng.submit(p, max_new_tokens=6)
+        return {r.uid: r.output for r in eng.run()}
+
+    plain = run()
+    spec_chunked = run(
+        draft_params=dparams, draft_cfg=DRAFT, spec_k=3, chunk_prefill=8
+    )
+    assert plain == spec_chunked
