@@ -11,6 +11,22 @@ Run: python bench.py            (headline metric, one JSON line on stdout)
 The reference's equivalent is the cycle-count microbench
 (/root/reference/tests/cpp/test_flash_attention.cpp:177-240) which prints
 Cycles= with no asserted thresholds; like it, this is observability.
+
+Resilience: the tunneled TPU backend ("axon") is known to fail transiently
+at init with UNAVAILABLE (it killed round 2's official capture, BENCH_r02.json
+rc=1).  Backend state is cached process-wide by JAX, so the only reliable
+re-init is a fresh process: by default this script acts as a small
+orchestrator that runs the actual benchmarks in a worker subprocess
+(``--worker``), retries the worker with backoff on failure or timeout, and
+— if every attempt fails — prints a ``{"metric": ..., "error": ...}`` JSON
+line and exits 0 instead of crashing.  Inside the worker the headline JSON
+is printed as soon as the first row succeeds, so later-row failures cannot
+cost the capture.  Env knobs (all optional):
+  FA_BENCH_ATTEMPTS   orchestrator attempts (default 3)
+  FA_BENCH_TIMEOUT    per-attempt seconds (default 900; 2400 with --all)
+  FA_BENCH_BACKOFF    base seconds between attempts (default 10, doubling)
+  FA_BENCH_DRY=1      worker skips real benchmarks (harness tests)
+  FA_BENCH_FORCE_FAIL=N  worker exits 1 on attempts <= N (harness tests)
 """
 
 from __future__ import annotations
@@ -18,11 +34,18 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
+# Importing jax does NOT initialize the backend (that happens lazily at the
+# first array op, inside the worker) — safe for the orchestrator process.
+# Skipped in FA_BENCH_DRY harness tests, where ~6s of import per subprocess
+# is the entire cost of the test.
+if os.environ.get("FA_BENCH_DRY") != "1":
+    import jax
+    import jax.numpy as jnp
 
 
 # bf16 matmul peak for the attached chip (TPU v5 lite / v5e): ~197 TFLOP/s.
@@ -60,7 +83,7 @@ def _chain_timeit(f, q, k, v, iters: int = 3, depth: int = 8) -> float:
 
 
 def bench_attention_fwd(
-    b=4, h=12, l=4096, d=128, dtype=jnp.bfloat16, causal=True
+    b=4, h=12, l=4096, d=128, dtype="bfloat16", causal=True
 ) -> dict:
     from flash_attention_tpu.kernels import flash_attention
 
@@ -78,7 +101,7 @@ def bench_attention_fwd(
     }
 
 
-def bench_attention_bwd(b=4, h=12, l=2048, d=128, dtype=jnp.bfloat16) -> dict:
+def bench_attention_bwd(b=4, h=12, l=2048, d=128, dtype="bfloat16") -> dict:
     from flash_attention_tpu.kernels import flash_attention
 
     ks = jax.random.split(jax.random.PRNGKey(1), 4)
@@ -116,7 +139,7 @@ def bench_attention_bwd(b=4, h=12, l=2048, d=128, dtype=jnp.bfloat16) -> dict:
 
 
 def bench_attention_kv_quant(
-    b=1, h=8, l=32768, d=128, dtype=jnp.int8
+    b=1, h=8, l=32768, d=128, dtype="int8"
 ) -> dict:
     """Quantized-KV prefill attention — the BASELINE.json flagship config
     (quantized KV dequantized inside the tile loop at 32k context)."""
@@ -462,6 +485,194 @@ def bench_train(batch=8, block=1024, steps=8) -> dict:
     }
 
 
+HEADLINE_METRIC = "attention_fwd_tflops_per_chip"
+
+
+def _headline_json(tflops: float) -> str:
+    return json.dumps(
+        {
+            "metric": HEADLINE_METRIC,
+            "value": round(tflops, 2),
+            "unit": "TFLOP/s",
+            "vs_baseline": round(tflops / V5E_PEAK_BF16_TFLOPS, 4),
+        }
+    )
+
+
+def _row(fn, *args, retries: int = 2, **kwargs):
+    """Run one bench row fail-soft: a row that dies (e.g. a transient
+    backend UNAVAILABLE mid-run) logs to stderr and yields None instead of
+    killing every row after it.  One retry after a pause for transients."""
+    for attempt in range(retries):
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e:  # noqa: BLE001 — observability harness
+            last = f"{type(e).__name__}: {e}"
+            print(
+                f"[bench] row {fn.__name__}{args}{kwargs} failed "
+                f"(attempt {attempt + 1}/{retries}): {last[:500]}",
+                file=sys.stderr,
+            )
+            if attempt + 1 < retries:
+                time.sleep(5.0)
+    return None
+
+
+def worker(args) -> int:
+    """The actual benchmark run (one process = one backend init attempt)."""
+    force_fail = int(os.environ.get("FA_BENCH_FORCE_FAIL", "0"))
+    attempt = int(os.environ.get("FA_BENCH_ATTEMPT", "1"))
+    if force_fail >= attempt:
+        print(f"[bench] forced failure on attempt {attempt}", file=sys.stderr)
+        return 1
+    if os.environ.get("FA_BENCH_DRY") == "1":
+        print(_headline_json(0.0), flush=True)
+        return 0
+
+    # Headline FIRST and its JSON flushed immediately: a later-row failure
+    # must never cost the capture (round 2's BENCH_r02.json lesson).
+    headline = bench_attention_fwd()
+    print(_headline_json(headline["tflops"]), flush=True)
+    print(
+        f"{headline['config']:55s} {headline['ms']:8.3f} ms "
+        f"{headline['tflops']:7.1f} TFLOP/s",
+        file=sys.stderr,
+    )
+
+    if args.spec:
+        r = _row(bench_speculative)
+        if r:
+            print(
+                f"{r['config']:55s} {r['tokens_per_s']:7.0f} tok/s "
+                f"(vanilla {r['vanilla_tokens_per_s']:.0f}); "
+                f"accept {r['accept_per_iter']:.2f}/{r['k'] + 1} per iter",
+                file=sys.stderr,
+            )
+    if args.engine:
+        r = _row(bench_engine)
+        if r:
+            print(
+                f"{r['config']:55s} TTFT p50 {r['ttft_p50_ms']:.1f} ms "
+                f"p95 {r['ttft_p95_ms']:.1f} ms  {r['tokens_per_s']:7.0f} tok/s",
+                file=sys.stderr,
+            )
+    if args.all:
+        rows = [
+            _row(bench_attention_fwd, l=1024),
+            _row(bench_attention_fwd, l=16384, b=1),
+            _row(bench_attention_fwd, l=32768, b=1, h=8),
+            _row(bench_attention_fwd, l=32768, b=1, h=8, d=64),
+            _row(bench_attention_fwd, l=65536, b=1, h=8),
+            _row(bench_attention_kv_quant, dtype=jnp.int8),
+            _row(bench_attention_kv_quant, dtype=jnp.float8_e4m3fn),
+            _row(bench_attention_bwd),
+        ]
+        for r in rows:
+            if r:
+                print(
+                    f"{r['config']:55s} {r['ms']:8.3f} ms {r['tflops']:7.1f} TFLOP/s",
+                    file=sys.stderr,
+                )
+        for r in [
+            _row(bench_decode),
+            _row(bench_decode, kv_quant_dtype=jnp.int8),
+            _row(bench_decode, slots=32),
+            _row(bench_decode, slots=32, kv_quant_dtype=jnp.int8),
+        ]:
+            if r:
+                print(
+                    f"{r['config']:55s} {r['ms']:8.3f} ms/tok {r['tokens_per_s']:7.0f} tok/s "
+                    f"TTFT {r['ttft_ms']:.1f} ms",
+                    file=sys.stderr,
+                )
+    if args.train:
+        r = _row(bench_train)
+        if r:
+            print(
+                f"{r['config']:55s} {r['ms']:8.1f} ms/step {r['tokens_per_s']:7.0f} tok/s",
+                file=sys.stderr,
+            )
+    if args.llama:
+        r = _row(bench_llama)
+        if r:
+            print(
+                f"{r['config']:55s} {r['ms']:8.3f} ms/tok {r['tokens_per_s']:7.0f} tok/s "
+                f"TTFT {r['ttft_ms']:.1f} ms ({r['prefill_tok_s']:.0f} prefill tok/s)",
+                file=sys.stderr,
+            )
+    return 0
+
+
+def orchestrate(argv: list[str], args) -> int:
+    """Run the worker in a subprocess with retry + backoff + timeout.
+
+    A fresh process is the only reliable backend re-init: JAX caches the
+    failed backend process-wide, so in-process retry of UNAVAILABLE can't
+    recover.  Always exits 0 with a JSON line on stdout — on total failure
+    the line carries an "error" field instead of a crash traceback.
+    """
+    attempts = int(os.environ.get("FA_BENCH_ATTEMPTS", "3"))
+    default_timeout = 2400 if (args.all or args.llama or args.train) else 900
+    timeout = float(os.environ.get("FA_BENCH_TIMEOUT", default_timeout))
+    backoff = float(os.environ.get("FA_BENCH_BACKOFF", "10"))
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker", *argv]
+    last_err = "no attempts ran"
+    for attempt in range(1, attempts + 1):
+        env = dict(os.environ, FA_BENCH_ATTEMPT=str(attempt))
+        try:
+            proc = subprocess.run(
+                cmd,
+                stdout=subprocess.PIPE,
+                stderr=None,  # stream worker stderr through live
+                timeout=timeout,
+                env=env,
+                text=True,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {attempt}: worker timed out after {timeout:.0f}s"
+            print(f"[bench] {last_err}", file=sys.stderr)
+        else:
+            out = proc.stdout or ""
+            line = next(
+                (
+                    ln
+                    for ln in out.splitlines()
+                    if ln.startswith("{") and f'"{HEADLINE_METRIC}"' in ln
+                ),
+                None,
+            )
+            if line is not None:
+                # Success: forward the worker's JSON line (even if the
+                # worker later died on a non-headline row, rc != 0).
+                print(line, flush=True)
+                return 0
+            last_err = (
+                f"attempt {attempt}: worker rc={proc.returncode}, "
+                f"no headline JSON on stdout"
+            )
+            print(f"[bench] {last_err}", file=sys.stderr)
+        if attempt < attempts:
+            delay = backoff * (2 ** (attempt - 1))
+            print(f"[bench] retrying in {delay:.0f}s", file=sys.stderr)
+            time.sleep(delay)
+
+    # Fail-soft: a parseable record of the failure, not a traceback.
+    print(
+        json.dumps(
+            {
+                "metric": HEADLINE_METRIC,
+                "value": None,
+                "unit": "TFLOP/s",
+                "vs_baseline": None,
+                "error": last_err,
+            }
+        ),
+        flush=True,
+    )
+    return 0
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--all", action="store_true")
@@ -469,74 +680,17 @@ def main() -> None:
     parser.add_argument("--train", action="store_true")
     parser.add_argument("--engine", action="store_true")
     parser.add_argument("--spec", action="store_true")
-    args = parser.parse_args()
-
-    if args.spec:
-        r = bench_speculative()
-        print(
-            f"{r['config']:55s} {r['tokens_per_s']:7.0f} tok/s "
-            f"(vanilla {r['vanilla_tokens_per_s']:.0f}); "
-            f"accept {r['accept_per_iter']:.2f}/{r['k'] + 1} per iter",
-            file=sys.stderr,
-        )
-    if args.engine:
-        r = bench_engine()
-        print(
-            f"{r['config']:55s} TTFT p50 {r['ttft_p50_ms']:.1f} ms "
-            f"p95 {r['ttft_p95_ms']:.1f} ms  {r['tokens_per_s']:7.0f} tok/s",
-            file=sys.stderr,
-        )
-
-    headline = bench_attention_fwd()
-    if args.all:
-        rows = [
-            headline,
-            bench_attention_fwd(l=1024),
-            bench_attention_fwd(l=16384, b=1),
-            bench_attention_fwd(l=32768, b=1, h=8),
-            bench_attention_fwd(l=32768, b=1, h=8, d=64),
-            bench_attention_fwd(l=65536, b=1, h=8),
-            bench_attention_kv_quant(dtype=jnp.int8),
-            bench_attention_kv_quant(dtype=jnp.float8_e4m3fn),
-            bench_attention_bwd(),
-        ]
-        for r in rows:
-            print(f"{r['config']:55s} {r['ms']:8.3f} ms {r['tflops']:7.1f} TFLOP/s", file=sys.stderr)
-        for r in [
-            bench_decode(),
-            bench_decode(kv_quant_dtype=jnp.int8),
-            bench_decode(slots=32),
-            bench_decode(slots=32, kv_quant_dtype=jnp.int8),
-        ]:
-            print(
-                f"{r['config']:55s} {r['ms']:8.3f} ms/tok {r['tokens_per_s']:7.0f} tok/s "
-                f"TTFT {r['ttft_ms']:.1f} ms",
-                file=sys.stderr,
-            )
-    if args.train:
-        r = bench_train()
-        print(
-            f"{r['config']:55s} {r['ms']:8.1f} ms/step {r['tokens_per_s']:7.0f} tok/s",
-            file=sys.stderr,
-        )
-    if args.llama:
-        r = bench_llama()
-        print(
-            f"{r['config']:55s} {r['ms']:8.3f} ms/tok {r['tokens_per_s']:7.0f} tok/s "
-            f"TTFT {r['ttft_ms']:.1f} ms ({r['prefill_tok_s']:.0f} prefill tok/s)",
-            file=sys.stderr,
-        )
-
-    print(
-        json.dumps(
-            {
-                "metric": "attention_fwd_tflops_per_chip",
-                "value": round(headline["tflops"], 2),
-                "unit": "TFLOP/s",
-                "vs_baseline": round(headline["tflops"] / V5E_PEAK_BF16_TFLOPS, 4),
-            }
-        )
+    parser.add_argument(
+        "--worker",
+        action="store_true",
+        help="run benchmarks in this process (internal; used by the "
+        "retry orchestrator, or directly for debugging)",
     )
+    args = parser.parse_args()
+    if args.worker:
+        sys.exit(worker(args))
+    argv = [a for a in sys.argv[1:] if a != "--worker"]
+    sys.exit(orchestrate(argv, args))
 
 
 if __name__ == "__main__":

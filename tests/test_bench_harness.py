@@ -1,0 +1,72 @@
+"""Tests for bench.py's retry orchestrator (VERDICT r02 item #1).
+
+Round 2's official capture (BENCH_r02.json) died with rc=1 on a transient
+backend-init failure.  These tests force that failure mode via env knobs
+(FA_BENCH_FORCE_FAIL makes the worker exit 1 on its first N attempts;
+FA_BENCH_DRY skips the real benchmarks so no TPU is needed) and pin the
+contract: the orchestrator retries in fresh subprocesses, always exits 0,
+and always emits exactly one parseable headline JSON line on stdout —
+with an "error" field instead of a traceback when every attempt fails.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+BENCH = os.path.join(os.path.dirname(__file__), os.pardir, "bench.py")
+
+
+def _run_bench(force_fail: int, attempts: int = 3):
+    env = dict(
+        os.environ,
+        FA_BENCH_DRY="1",
+        FA_BENCH_FORCE_FAIL=str(force_fail),
+        FA_BENCH_ATTEMPTS=str(attempts),
+        FA_BENCH_BACKOFF="0.01",
+        FA_BENCH_TIMEOUT="60",
+    )
+    return subprocess.run(
+        [sys.executable, BENCH],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        timeout=120,
+    )
+
+
+def _parse_headline(stdout: str) -> dict:
+    lines = [ln for ln in stdout.splitlines() if ln.startswith("{")]
+    assert len(lines) == 1, f"expected exactly one JSON line, got: {stdout!r}"
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "attention_fwd_tflops_per_chip"
+    assert rec["unit"] == "TFLOP/s"
+    return rec
+
+
+def test_bench_retries_past_transient_failures():
+    """Two forced failures, third attempt succeeds: rc 0, clean JSON."""
+    proc = _run_bench(force_fail=2, attempts=3)
+    assert proc.returncode == 0, proc.stderr
+    rec = _parse_headline(proc.stdout)
+    assert "error" not in rec
+    assert rec["value"] is not None
+
+
+def test_bench_fail_soft_when_backend_never_comes_up():
+    """Every attempt fails: still rc 0, JSON carries an error field."""
+    proc = _run_bench(force_fail=99, attempts=3)
+    assert proc.returncode == 0, proc.stderr
+    rec = _parse_headline(proc.stdout)
+    assert rec["value"] is None
+    assert "error" in rec and rec["error"]
+    # the stderr log shows all three attempts were made
+    assert proc.stderr.count("forced failure") == 3
+
+
+def test_bench_first_attempt_success_is_single_shot():
+    proc = _run_bench(force_fail=0, attempts=3)
+    assert proc.returncode == 0, proc.stderr
+    _parse_headline(proc.stdout)
+    assert "retrying" not in proc.stderr
