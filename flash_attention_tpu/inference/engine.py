@@ -195,6 +195,12 @@ class InferenceEngine:
                 draft_cfg.n_layer, slots, dkv, self.max_len,
                 draft_cfg.head_dim, dtype=draft_cfg.dtype,
             )
+            # Slots whose draft cache lags the target cache (they decoded
+            # through the regular scan while a sampled request was running).
+            # _decode_speculative re-prefills these before the spec round —
+            # without this, acceptance silently collapses after any mixed
+            # greedy/sampled phase (the draft would propose from garbage).
+            self._draft_stale: set[int] = set()
             self._draft_prefill = jax.jit(
                 lambda p, toks, cache, slot, n: prefill(
                     p, toks, draft_cfg, cache, slot, n
@@ -331,11 +337,39 @@ class InferenceEngine:
                     jnp.int32(slot),
                     jnp.int32(n),
                 )
+                self._draft_stale.discard(slot)
             if not self._finish_admission(slot, req, logits):
                 free.insert(0, slot)  # finished on its first token
 
     def _all_running_greedy(self) -> bool:
         return all(r.temperature <= 0.0 for r in self.running.values())
+
+    def _resync_draft_slots(self) -> None:
+        """Re-prefill draft-cache slots that decoded through the regular
+        scan (mixed greedy/sampled phases advance only the target cache).
+
+        speculative_decode_loop's precondition is equal lengths + identical
+        accepted history in both caches; a lagging draft slot would propose
+        from garbage and collapse acceptance.  The accepted history is
+        prompt + output[:-1] (the last output token rides pending in
+        _next_tokens_dev, exactly like decode_loop).
+        """
+        for slot in sorted(self._draft_stale & set(self.running)):
+            req = self.running[slot]
+            hist = req.prompt + req.output[:-1]
+            n = len(hist)
+            bucket = self._bucket_len(n)
+            toks = np.full((bucket,), hist[-1], np.int32)
+            toks[:n] = hist
+            self.draft_cache, _ = self._draft_prefill(
+                self.draft_params,
+                jnp.asarray(toks),
+                self.draft_cache,
+                jnp.int32(slot),
+                jnp.int32(n),
+            )
+            self.stats["draft_resyncs"] = self.stats.get("draft_resyncs", 0) + 1
+        self._draft_stale.clear()
 
     def _decode_speculative(self) -> None:
         """Route one decode round through the draft-verify loop.  Inactive
@@ -344,6 +378,7 @@ class InferenceEngine:
         caches' rows and lengths for the slot."""
         from .speculative import PAD, gather_tokens
 
+        self._resync_draft_slots()
         self.cache, self.draft_cache, toks_dev, counts_dev = self._spec_scan(
             self.params,
             self.draft_params,
@@ -459,6 +494,7 @@ class InferenceEngine:
                     jnp.int32(slot),
                     jnp.int32(n),
                 )
+                self._draft_stale.discard(slot)
             self._finish_admission(slot, req, logits)
 
     def _sample_one(self, logits: jax.Array, req: Request) -> int:
@@ -524,6 +560,10 @@ class InferenceEngine:
             use_top_p,
         )
         self._next_tokens_dev = toks_dev[-1]
+        if self.draft_params is not None:
+            # Regular scans advance only the target cache; mark the slots
+            # so the next speculative round re-syncs their draft rows.
+            self._draft_stale.update(self.running.keys())
         toks = np.asarray(toks_dev)  # [scan_steps, slots] — one D2H per scan
         self.stats["decode_steps"] += self.scan_steps
         done: list[int] = []

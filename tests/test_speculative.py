@@ -180,6 +180,33 @@ def test_engine_draft_falls_back_for_sampled_requests(params):
     assert eng.stats.get("spec_rounds", 0) == 0
 
 
+def test_engine_draft_resync_after_mixed_phase(params):
+    """A mixed greedy+sampled phase advances only the target cache; when
+    the set turns all-greedy again the engine must re-sync the lagging
+    draft slots before speculating — otherwise the draft proposes from
+    garbage rows (silent acceptance collapse; ADVICE r02).  Output equality
+    with the plain engine pins correctness; the resync stat pins that the
+    repair path (not luck) did it."""
+    from flash_attention_tpu.inference import InferenceEngine
+
+    dparams = gpt.init_params(jax.random.PRNGKey(9), DRAFT)
+    greedy_prompt = [3, 1, 4, 1, 5, 9]
+
+    def run(**kw):
+        eng = InferenceEngine(params, CFG, slots=2, max_len=256, scan_steps=4, **kw)
+        uid = eng.submit(greedy_prompt, max_new_tokens=20)
+        # sampled request forces regular-scan rounds while it runs
+        eng.submit([7, 7, 7], max_new_tokens=4, temperature=0.9, top_k=8)
+        out = {r.uid: r.output for r in eng.run()}
+        return out[uid], eng.stats
+
+    plain, _ = run()
+    spec, stats = run(draft_params=dparams, draft_cfg=DRAFT, spec_k=3)
+    assert stats.get("spec_rounds", 0) > 0, stats  # spec resumed post-mix
+    assert stats.get("draft_resyncs", 0) > 0, stats  # via the repair path
+    assert plain == spec, (plain, spec)
+
+
 def test_engine_draft_with_chunked_prefill(params):
     """Chunked admission + speculative decode compose: the draft cache gets
     one whole-prompt prefill at chunk completion and outputs still match."""
