@@ -250,9 +250,13 @@ def decode_step(
 
     Inactive slots compute garbage (static shapes); `active` [slots] bool
     gates their length advance so stale slots don't creep; the scheduler
-    discards their logits.  attn_impl: "fused" (slot-major Pallas kernel,
-    length-adaptive reads + fused dequant — the production path), "einsum"
-    (fused XLA pass over the whole cache) or "paged" (paged-cache kernel).
+    discards their logits.  attn_impl: "einsum" (fused XLA pass over the
+    whole cache — the default/production path: decode attention is rank-1
+    and bandwidth-bound, and XLA's fused read measured faster than both
+    hand kernels on v5e, see decode_attention.py), "fused" (slot-major
+    Pallas kernel, length-adaptive reads + fused dequant — wins only when
+    contexts are far shorter than cache capacity) or "paged" (paged-cache
+    kernel).
     """
     s = cache.slots
     d, h, hkv = cfg.head_dim, cfg.n_head, cfg.kv_heads

@@ -17,6 +17,14 @@ import jax
 import jax.numpy as jnp
 
 
+# int4 packing layout identifier.  The layout changed once (adjacent-column
+# nibbles -> split-halves, commit c3a461e: adjacent packing's lane interleave
+# was 10x slower); serialized QuantizedTensors carry this marker so weights
+# pickled under the old layout fail loudly instead of dequantizing to
+# silently column-permuted garbage.
+INT4_LAYOUT = "int4-split-halves-v2"
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class QuantizedTensor:
@@ -26,14 +34,32 @@ class QuantizedTensor:
     scales: jax.Array  # f32 [out]
     bits: int  # 8 or 4
     out_features: int
+    layout: str = INT4_LAYOUT  # int4 packing format version
 
     def tree_flatten(self):
-        return (self.values, self.scales), (self.bits, self.out_features)
+        return (self.values, self.scales), (
+            self.bits, self.out_features, self.layout,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         values, scales = children
-        return cls(values, scales, aux[0], aux[1])
+        # aux[2] absent on trees flattened before the layout field existed:
+        # those predate the format break, so tag them with the OLD layout.
+        layout = aux[2] if len(aux) > 2 else "int4-adjacent-v1"
+        return cls(values, scales, aux[0], aux[1], layout)
+
+
+def _check_int4_layout(qt: QuantizedTensor) -> None:
+    layout = getattr(qt, "layout", "int4-adjacent-v1")
+    if layout != INT4_LAYOUT:
+        raise ValueError(
+            f"QuantizedTensor has int4 layout {layout!r} but this build "
+            f"unpacks {INT4_LAYOUT!r} (split-halves: byte j = columns j and "
+            "j + out/2).  Re-quantize from the original weights with "
+            "quantize_int4 — dequantizing the old adjacent-column layout "
+            "here would silently permute columns."
+        )
 
 
 def quantize_int8(w: jax.Array) -> QuantizedTensor:
@@ -80,6 +106,7 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     if qt.bits == 8:
         w = qt.values.astype(jnp.float32)
     elif qt.bits == 4:
+        _check_int4_layout(qt)
         lo, hi = _unpack_int4(qt.values)
         w = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
     else:
@@ -97,6 +124,7 @@ def quantized_matmul(
     between the HBM read and the MXU.
     """
     if qt.bits == 4:
+        _check_int4_layout(qt)
         half = qt.out_features // 2
         lo, hi = _unpack_int4(qt.values)
         sc = qt.scales.astype(x.dtype)

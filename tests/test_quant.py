@@ -40,6 +40,30 @@ def test_int4_roundtrip():
     assert jnp.all(err <= qt.scales * 0.5 + 1e-7)
 
 
+def test_int4_old_layout_rejected():
+    """int4 packing changed from adjacent-column to split-halves; tensors
+    carrying the old layout marker (e.g. unpickled round-1 checkpoints)
+    must fail loudly, not dequantize to column-permuted garbage."""
+    import dataclasses
+
+    from flash_attention_tpu.quant.weights import QuantizedTensor
+
+    w = jax.random.normal(jax.random.PRNGKey(1), (16, 32), jnp.float32)
+    qt = quantize_int4(w)
+    assert qt.layout == "int4-split-halves-v2"
+    old = dataclasses.replace(qt, layout="int4-adjacent-v1")
+    with pytest.raises(ValueError, match="int4 layout"):
+        dequantize(old)
+    with pytest.raises(ValueError, match="int4 layout"):
+        quantized_matmul(jnp.ones((2, 16)), old)
+    # int8 tensors are layout-agnostic
+    q8 = dataclasses.replace(quantize_int8(w), layout="int4-adjacent-v1")
+    dequantize(q8)
+    # pytree roundtrip preserves the marker
+    leaves, treedef = jax.tree_util.tree_flatten(qt)
+    assert jax.tree_util.tree_unflatten(treedef, leaves).layout == qt.layout
+
+
 def test_quantized_matmul():
     x = jax.random.normal(jax.random.PRNGKey(2), (8, 64), jnp.float32)
     w = jax.random.normal(jax.random.PRNGKey(3), (64, 128), jnp.float32)
