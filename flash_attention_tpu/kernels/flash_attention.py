@@ -1023,7 +1023,24 @@ def flash_attention(
         block sizes (cpp/flash_attention_qkv_packed.cpp:560-607 semantics).
 
     Returns: [batch, num_q_heads, q_len, head_dim], differentiable.
+
+    Dtype contract: fp32 and bf16 are native.  float16 — which the
+    reference op registers (cpp/flash_attention_qkv_packed.cpp:609-616) —
+    is accepted for drop-in compatibility but COMPUTED IN BFLOAT16 (the
+    TPU MXU has no fp16 mode; bf16 is the hardware's half precision) and
+    cast back to float16 on output, so expect bf16-tier accuracy (~1e-2
+    max abs err), not fp16-tier.
     """
+    if q.dtype == jnp.float16:
+        out = flash_attention(
+            q.astype(jnp.bfloat16),
+            k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16),
+            causal=causal, sm_scale=sm_scale, window=window,
+            segment_ids=segment_ids, block_sizes=block_sizes,
+            num_chunks_q=num_chunks_q, num_chunks_kv=num_chunks_kv,
+        )
+        return out.astype(jnp.float16)
     b, hq, lq, d = q.shape
     bk, hkv, lk, dk_ = k.shape
     if v.shape != k.shape:

@@ -61,6 +61,18 @@ def test_forward_parity(dtype, b, h, l, d):
     assert err <= FWD_TOL[dtype], f"max abs err {err}"
 
 
+def test_float16_contract():
+    """float16 inputs (the reference registers fp16, cpp:609-616) are
+    accepted, computed in bfloat16 (the TPU's half precision), and returned
+    as float16 at bf16-tier accuracy."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(40), 1, 2, 256, 128, jnp.float16)
+    out = flash_attention(q, k, v)
+    assert out.dtype == jnp.float16
+    ref = _ref(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32))
+    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
+    assert err <= FWD_TOL[jnp.bfloat16], f"max abs err {err}"
+
+
 @pytest.mark.parametrize("blocks", [(128, 128), (256, 128), (128, 256)])
 def test_forward_block_combos(blocks):
     bq, bkv = blocks
