@@ -68,14 +68,24 @@ def _timeit(f, *args, iters: int = 10) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def _chain_timeit(f, q, k, v, iters: int = 3, depth: int = 8) -> float:
-    """Amortize per-dispatch tunnel latency by chaining calls inside jit."""
+def _chain_timeit(f, q, k, v, iters: int = 3, depth: int = 64) -> float:
+    """Amortize per-dispatch tunnel latency by chaining calls inside jit.
+
+    Measured (round 3): one jit dispatch through the axon tunnel costs
+    ~7-8 ms of latency that does NOT pipeline across queued executions, so
+    a depth-8 chain of ~2 ms kernels still pays ~0.9 ms/call of pure
+    latency (the round-2 headline 67.6 TF/s was really ~101 at the device;
+    depth sweep 8/16/32/64 -> 70/77/91/101 TF/s, asymptote ~108).  Depth
+    64 under lax.scan keeps the tax ~5% and compiles the body once — the
+    TPU analog of the reference counting device cycles around the
+    attention program only (tests/cpp/test_flash_attention.cpp:177-240).
+    """
 
     @jax.jit
     def chained(q, k, v):
-        o = q
-        for _ in range(depth):
-            o = f(o, k, v)
+        o, _ = jax.lax.scan(
+            lambda o, _: (f(o, k, v), None), q, None, length=depth
+        )
         return jnp.sum(o.astype(jnp.float32))
 
     dt = _timeit(chained, q, k, v, iters=iters)
@@ -117,16 +127,20 @@ def bench_attention_bwd(b=4, h=12, l=2048, d=128, dtype="bfloat16") -> dict:
         argnums=(0, 1, 2),
     )
 
-    depth = 8
+    depth = 24
 
     @jax.jit
     def step(q, k, v):
-        # Chain fwd+bwd steps (dq feeds the next q) so the ~1.5 ms
-        # per-dispatch tunnel latency is amortized like the fwd bench.
-        for _ in range(depth):
+        # Chain fwd+bwd steps (dq feeds the next q) under lax.scan so the
+        # ~7 ms non-pipelining dispatch latency amortizes (see
+        # _chain_timeit); the body compiles once.
+        def body(q, _):
             dq, dk, dv = grad_fn(q, k, v)
             q = (q + 1e-3 * dq.astype(jnp.float32)).astype(q.dtype)
-        return jnp.sum(dq.astype(jnp.float32)) + jnp.sum(dk.astype(jnp.float32))
+            return q, jnp.sum(dq.astype(jnp.float32))
+
+        q, sums = jax.lax.scan(body, q, None, length=depth)
+        return sums[-1] + jnp.sum(q.astype(jnp.float32))
 
     dt = _timeit(step, q, k, v, iters=3) / depth
     # bwd ~ 2.5x fwd FLOPs (dkv + dq recompute), causal halves
@@ -145,6 +159,7 @@ def bench_attention_kv_quant(
     (quantized KV dequantized inside the tile loop at 32k context)."""
     from flash_attention_tpu.quant import flash_attention_kv_quant, quantize_kv
 
+    dtype = jnp.dtype(dtype).type  # accept "int8"/"float8_e4m3fn" strings
     ks = jax.random.split(jax.random.PRNGKey(2), 3)
     q = jax.random.normal(ks[0], (b, h, l, d), jnp.bfloat16)
     k = jax.random.normal(ks[1], (b, h, l, d), jnp.bfloat16)
@@ -153,12 +168,13 @@ def bench_attention_kv_quant(
 
     @jax.jit
     def chained(q, kv):
-        o = q
-        for _ in range(4):
-            o = flash_attention_kv_quant(o, kv, causal=True)
+        o, _ = jax.lax.scan(
+            lambda o, _: (flash_attention_kv_quant(o, kv, causal=True), None),
+            q, None, length=16,
+        )
         return jnp.sum(o.astype(jnp.float32))
 
-    dt = _timeit(chained, q, kv, iters=3) / 4
+    dt = _timeit(chained, q, kv, iters=3) / 16
     flops = 4 * b * h * l * l * d * 0.5
     name = jnp.dtype(dtype).name
     return {

@@ -140,13 +140,18 @@ def _fwd_quant_kernel(
 
     def body(causal_mask: bool, kv_mask: bool):
         q = q_ref[0].reshape(rows, d)
-        k = k_ref[0].astype(q.dtype)  # int8/fp8 -> compute dtype, unscaled
+        # Dequantize the K TILE (a (bkv, d) multiply), not the scores: at
+        # rows >= 8*d a (rows, bkv) score multiply is 8x the elements of the
+        # operand multiply.  Measured on v5e at the 32k flagship: 133.9 vs
+        # 120.5 TF/s (+11%, bench/exp_quant_dequant.py).  q arrives
+        # pre-scaled by sm_scale*log2e host-side, so from here the score
+        # path is identical to the bf16 kernel's.
+        k = k_ref[0].astype(q.dtype) * ks_ref[0].reshape(bkv, 1).astype(
+            q.dtype
+        )
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        # fold K dequant scale into the scores (per kv-token column), in the
-        # exp2 domain (the log2e factor rides the same multiply for free)
-        s = s * (ks_ref[0].reshape(1, bkv) * (params.sm_scale * _LOG2E))
         mask = _mask_for_block(
             params, i, j * bkv, rows, bq, bkv,
             causal=causal_mask, kv_mask=kv_mask,
@@ -166,12 +171,12 @@ def _fwd_quant_kernel(
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = m_next
         l_scr[...] = l_next
-        # fold V dequant scale into the attention weights (per kv-token row)
-        p_scaled = p * vs_ref[0].reshape(1, bkv)
+        # dequantize the V tile likewise ((bkv, d) multiply, not (rows, bkv))
+        v = v_ref[0].astype(q.dtype) * vs_ref[0].reshape(bkv, 1).astype(
+            q.dtype
+        )
         acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + jax.lax.dot(
-            p_scaled.astype(q.dtype),
-            v_ref[0].astype(q.dtype),
-            preferred_element_type=jnp.float32,
+            p.astype(q.dtype), v, preferred_element_type=jnp.float32
         )
 
     if ncells is None:
@@ -268,6 +273,9 @@ def flash_attention_kv_quant(
         vs = jnp.pad(vs, ((0, 0), (0, 0), (0, lkp - lk)))
 
     bh = b * hkv
+    # exp2-domain softmax: fold sm_scale*log2(e) into q host-side (one
+    # fused elementwise op), exactly like the bf16 kernel (_fwd).
+    q = (q.astype(jnp.float32) * (float(sm_scale) * _LOG2E)).astype(q.dtype)
     q4 = q.reshape(bh, group, lqp, dp)
     k3, v3 = k_q.reshape(bh, lkp, dp), v_q.reshape(bh, lkp, dp)
     # scales ride as [bh, 1, L] so the block's trailing dims are (1, bkv) —

@@ -9,14 +9,41 @@ sharding/collective tests exercise real multi-device code paths.
 This must run before jax is imported anywhere in the test process.
 """
 
+import glob
 import os
+
+import pytest
 
 # FA_TPU_TESTS=1 switches to the on-hardware lane: tests/tpu/ runs on the
 # real chip (interpret mode cannot catch Mosaic compile/tiling failures —
-# see commit f1c3b7f), and the CPU-only suite under tests/ is skipped.
+# see commit f1c3b7f), and the CPU-only suite under tests/ is skipped
+# (it assumes the 8-virtual-device CPU flags below, which the TPU lane
+# must not set).
 TPU_LANE = os.environ.get("FA_TPU_TESTS") == "1"
 
-collect_ignore = [] if TPU_LANE else ["tpu"]
+if TPU_LANE:
+    # Exclude the CPU suite however pytest was pointed at the tree.
+    collect_ignore = [
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(os.path.dirname(__file__), "test_*.py"))
+    ]
+else:
+    collect_ignore = ["tpu"]
+
+
+def pytest_collection_modifyitems(config, items):
+    """Fast default lane: tests marked `slow` (the interpret-mode ring /
+    dryrun / remat sweeps, ~9 min of an ~18 min suite) only run with
+    FA_FULL_TESTS=1.  Zero coverage loss in the full lane; the fast lane
+    keeps at least one test per feature area."""
+    if os.environ.get("FA_FULL_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow sweep; run the full lane with FA_FULL_TESTS=1"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 if not TPU_LANE:
     os.environ.setdefault("JAX_PLATFORMS", "cpu")

@@ -1,6 +1,7 @@
 """decode_loop (scan-based on-device generation) must match the step-by-step
 decode path exactly."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -37,6 +38,7 @@ def test_decode_loop_matches_stepwise():
     assert (c1.lengths == c2.lengths).all()
 
 
+@pytest.mark.slow
 def test_decode_attention_fused_matches_einsum():
     """Fused-heads slot-major kernel vs the einsum reference across MHA/GQA,
     head_dim 64/128, bf16/int8 caches and ragged lengths."""

@@ -37,6 +37,7 @@ def _greedy_ref(params, prompt, n_new):
     return toks[len(prompt) :]
 
 
+@pytest.mark.slow
 def test_prefill_decode_matches_full_recompute(params):
     """Cached decode must produce the same greedy tokens as recomputing the
     full forward each step (exactness of the KV-cache path)."""

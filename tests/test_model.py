@@ -2,6 +2,7 @@
 notebook cell 34 experiment (loss curves match at block 256) as a unit test,
 plus optimizer grouping parity (demo/train.py:196-203)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -103,6 +104,7 @@ def test_generate():
     assert (out[:, :4] == idx).all()
 
 
+@pytest.mark.slow
 def test_remat_grads_match_and_memory_shrinks():
     """cfg.remat=True (jax.checkpoint per block) must not change gradients
     and must wrap every block in a remat call (the byte-level memory

@@ -47,6 +47,7 @@ def test_ring_attention_parity():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_ring_attention_non_causal():
     mesh = make_mesh(seq=8)
     q = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 1024, 64), jnp.float32)
@@ -116,6 +117,7 @@ def test_dp_tp_train_step():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_dryrun_entrypoint():
     """The driver-facing dryrun runs end to end."""
     from flash_attention_tpu.parallel.dryrun import dryrun_train_step
@@ -123,6 +125,7 @@ def test_dryrun_entrypoint():
     dryrun_train_step(8)
 
 
+@pytest.mark.slow
 def test_ring_attention_grad():
     """Ring attention is differentiable: per-shard lse cotangents fold into
     the kernel bwd (di shift) and KV-shard grads rotate back via the
@@ -151,6 +154,7 @@ def test_ring_attention_grad():
         )
 
 
+@pytest.mark.slow
 def test_ring_attention_zigzag_parity():
     """Zig-zag (striped) sharding: every device does equal causal work;
     result must match dense attention exactly (up to fp tolerance)."""
@@ -167,6 +171,7 @@ def test_ring_attention_zigzag_parity():
     )
 
 
+@pytest.mark.slow
 def test_ring_attention_zigzag_grad():
     mesh = make_mesh(seq=4)
     b, h, l, d = 1, 2, 8 * 128, 64
@@ -298,6 +303,7 @@ def test_llama_dp_tp_train_step():
     assert next(iter(wq.addressable_shards)).data.shape[1] == wq.shape[1] // 4
 
 
+@pytest.mark.slow
 def test_ring_attention_gqa():
     """GQA rides through the ring: Hq != Hkv shards on L like MHA."""
     from flash_attention_tpu.parallel import make_mesh, ring_attention
