@@ -26,4 +26,15 @@ $(LIB): $(OBJS)
 clean:
 	rm -rf $(OUT)
 
-.PHONY: all clean
+# ~2 min on-hardware smoke: one fwd/bwd parity, GQA, quant-KV, paged decode.
+# Interpret mode cannot catch Mosaic compile/tiling failures (commit
+# f1c3b7f) — run this before claiming any kernel change works, and the
+# full matrix (`make tpu-test`) before BASELINE.md table updates.
+tpu-smoke:
+	FA_TPU_TESTS=1 timeout 600 python -m pytest tests/tpu -q \
+		-k "(test_fwd_bwd_parity and bfloat16) or test_gqa_fwd_bwd or (test_quant_kv and int8) or test_paged_decode_attention"
+
+tpu-test:
+	FA_TPU_TESTS=1 timeout 1500 python -m pytest tests/tpu -q
+
+.PHONY: all clean tpu-smoke tpu-test

@@ -246,7 +246,7 @@ def bench_decode(
 
 
 def bench_engine(
-    slots=8, n_requests=32, rate_per_s=20.0, prompt_len=200,
+    slots=8, n_requests=96, rate_per_s=20.0, prompt_len=200,
     max_new_tokens=64, scan_steps=16, seed=0, long_frac=0.0,
     max_len=512, chunk_prefill=None,
 ) -> dict:
@@ -277,14 +277,24 @@ def bench_engine(
         ).tolist()
         for i in range(n_requests)
     ]
-    # warm up the compiled paths (prefill buckets, chunks, decode scan)
-    eng.submit(prompts[0], max_new_tokens=scan_steps)
+    # Warm up every compiled path the measured run can hit: prefill
+    # batch sizes (powers of two up to `slots` — prefill_many retraces per
+    # batch size), the bucketed single prefill, chunked prefill, and the
+    # full + shortened decode scans (the adaptive policy uses power-of-two
+    # lengths).  A mid-run axon compile is ~10-40 s and would dominate the
+    # TTFT percentiles.
+    m = 1
+    while m <= slots:
+        for _ in range(m + (1 if m < slots else 2)):
+            eng.submit(prompts[0], max_new_tokens=scan_steps)
+        eng.run()
+        m *= 2
     if long_frac:
         eng.submit(
             rng.integers(0, cfg.vocab_size, long_len).tolist(),
             max_new_tokens=scan_steps,
         )
-    eng.run()
+        eng.run()
     eng.finished.clear()
     eng.stats = {"decode_steps": 0, "prefills": 0, "tokens_out": 0}
 
@@ -379,6 +389,147 @@ def bench_speculative(slots=8, ctx=512, n_iters=24, k=4) -> dict:
         "vanilla_tokens_per_s": slots * steps / dt_v,
         "accept_per_iter": emitted / (n_iters * slots),
         "k": k,
+    }
+
+
+def bench_speculative_trained(
+    slots=8, k=4, n_iters=24, train_steps=400, ctx=200, seed=0
+) -> dict:
+    """Speculative decoding with a TRAINED target/draft pair.
+
+    bench_speculative measures the mechanism with random weights (honest
+    acceptance ~1.2/5 — a loss).  Here both models train on the same
+    synthetic low-entropy corpus (order-1 Markov chain, dominant successor
+    p=0.9) with the repo's own trainer, so the draft learns the same
+    predictable structure as the target and acceptance becomes a measured
+    property of a real model pair.  The corpus is synthetic because the
+    environment has no network egress; distribution match between draft
+    and target — the thing that matters for acceptance — holds by
+    construction, as it does for a distilled draft."""
+    import dataclasses
+
+    import numpy as np
+
+    from flash_attention_tpu.inference import init_cache
+    from flash_attention_tpu.inference.model_runner import decode_loop, prefill
+    from flash_attention_tpu.inference.speculative import (
+        speculative_decode_loop,
+    )
+    from flash_attention_tpu.models import gpt
+    from flash_attention_tpu.training import make_optimizer, make_train_step
+
+    # GPT-2-124M-SHAPED target (12L x 768; vocab shrunk to the synthetic
+    # alphabet) vs a 2L x 256 draft: the ~20x cost ratio is what makes
+    # speculation winnable.  A first attempt with a 4L x 256 target showed
+    # why the ratio matters: acceptance was PERFECT (5/5) and spec still
+    # lost 30.5k vs 51.8k tok/s — at toy scale the draft's scan steps cost
+    # the same as the target's (both dispatch-bound), so k drafts + verify
+    # ~= k+1 target steps and there is nothing to win.
+    vocab, block, batch = 64, 256, 32
+    cfg = gpt.GPTConfig(
+        vocab_size=vocab, block_size=512, n_layer=12, n_head=12, n_embd=768
+    )
+    dcfg = dataclasses.replace(cfg, n_layer=2, n_head=4, n_embd=256)
+
+    # Order-1 Markov corpus: each token's successor is a fixed permutation
+    # with probability 0.9, uniform otherwise.
+    rng = np.random.default_rng(seed)
+    succ = rng.permutation(vocab)
+    noise = rng.random(200_000)
+    corpus = np.zeros(200_000, np.int32)
+    for i in range(1, len(corpus)):
+        corpus[i] = (
+            succ[corpus[i - 1]]
+            if noise[i] < 0.9
+            else rng.integers(0, vocab)
+        )
+
+    def batches(n):
+        ix = rng.integers(0, len(corpus) - block - 1, (n, batch))
+        x = np.stack(
+            [[corpus[i : i + block] for i in row] for row in ix]
+        )
+        y = np.stack(
+            [[corpus[i + 1 : i + block + 1] for i in row] for row in ix]
+        )
+        return jnp.asarray(x), jnp.asarray(y)
+
+    losses = {}
+    trained = {}
+    for name, c, key in (("target", cfg, 0), ("draft", dcfg, 1)):
+        params = gpt.init_params(jax.random.PRNGKey(key), c)
+        opt = make_optimizer(
+            1e-3, warmup_iters=20, lr_decay_iters=train_steps
+        )
+        opt_state = opt.init(params)
+        step = make_train_step(c, opt)
+        xs, ys = batches(train_steps)
+        rkey = jax.random.PRNGKey(2)
+
+        @jax.jit
+        def train(params, opt_state, xs, ys):
+            def body(carry, xy):
+                p, s = carry
+                p, s, loss = step(p, s, xy[0], xy[1], rkey)
+                return (p, s), loss
+
+            (params, opt_state), ls = jax.lax.scan(
+                body, (params, opt_state), (xs, ys)
+            )
+            return params, ls
+
+        params, ls = train(params, opt_state, xs, ys)
+        losses[name] = float(ls[-1])
+        trained[name] = params
+
+    def make_cache(c):
+        return init_cache(
+            c.n_layer, slots, c.kv_heads, c.block_size, c.head_dim,
+            dtype=c.dtype,
+        )
+
+    ct, cd = make_cache(cfg), make_cache(dcfg)
+    pre_t = jax.jit(lambda p, t, c, s: prefill(p, t, cfg, c, s))
+    pre_d = jax.jit(lambda p, t, c, s: prefill(p, t, dcfg, c, s))
+    firsts = np.zeros((slots,), np.int32)
+    for s in range(slots):
+        start = int(rng.integers(0, len(corpus) - ctx - 1))
+        prompt = jnp.asarray(corpus[start : start + ctx])
+        ct, _ = pre_t(trained["target"], prompt, ct, jnp.int32(s))
+        cd, _ = pre_d(trained["draft"], prompt, cd, jnp.int32(s))
+        firsts[s] = corpus[start + ctx]
+    first = jnp.asarray(firsts)
+
+    spec = jax.jit(
+        lambda p, dp, ct, cd, f: speculative_decode_loop(
+            p, cfg, ct, dp, dcfg, cd, f, n_iters=n_iters, k=k
+        )[2:]
+    )
+    args = (trained["target"], trained["draft"], ct, cd, first)
+    toks, counts = spec(*args)
+    float(jnp.sum(counts))
+    t0 = time.perf_counter()
+    toks, counts = spec(*args)
+    emitted = float(jnp.sum(counts))
+    dt = time.perf_counter() - t0
+
+    steps = max(int(emitted / slots), 1)
+    loop = jax.jit(
+        lambda p, c, t: decode_loop(p, cfg, c, t, steps)[1].sum()
+    )
+    dt_v = _timeit(loop, trained["target"], ct, first, iters=3)
+    return {
+        "config": (
+            f"spec-decode TRAINED {cfg.n_layer}Lx{cfg.n_embd}-target/"
+            f"{dcfg.n_layer}Lx{dcfg.n_embd}-draft k{k} slots{slots} "
+            f"ctx{ctx} (markov corpus, {train_steps} steps)"
+        ),
+        "tokens_per_s": emitted / dt,
+        "vanilla_tokens_per_s": slots * steps / dt_v,
+        "accept_per_iter": emitted / (n_iters * slots),
+        "k": k,
+        "target_loss": losses["target"],
+        "draft_loss": losses["draft"],
     }
 
 
@@ -556,14 +707,15 @@ def worker(args) -> int:
     )
 
     if args.spec:
-        r = _row(bench_speculative)
-        if r:
-            print(
-                f"{r['config']:55s} {r['tokens_per_s']:7.0f} tok/s "
-                f"(vanilla {r['vanilla_tokens_per_s']:.0f}); "
-                f"accept {r['accept_per_iter']:.2f}/{r['k'] + 1} per iter",
-                file=sys.stderr,
-            )
+        for fn in (bench_speculative, bench_speculative_trained):
+            r = _row(fn)
+            if r:
+                print(
+                    f"{r['config']:55s} {r['tokens_per_s']:7.0f} tok/s "
+                    f"(vanilla {r['vanilla_tokens_per_s']:.0f}); "
+                    f"accept {r['accept_per_iter']:.2f}/{r['k'] + 1} per iter",
+                    file=sys.stderr,
+                )
     if args.engine:
         r = _row(bench_engine)
         if r:

@@ -1,4 +1,7 @@
-"""Throwaway experiment: does removing @pl.when branches from the kernel
+"""CONCLUSION (measured v5e): V0 67.9 / V1 66.8 / V2 67.3 / V3 68.9 TF/s —
+branches are NOT the bottleneck (within noise).
+
+Throwaway experiment: does removing @pl.when branches from the kernel
 body let Mosaic software-pipeline across causal row boundaries?
 
 Evidence so far: per-VISITED-cell rate at identical tile shapes climbs from

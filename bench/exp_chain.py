@@ -1,4 +1,11 @@
-"""Throwaway experiment: how much of the measured per-cell overhead is the
+"""CONCLUSION (measured v5e): A same-input 2.53 us/cell was XLA CSE (the
+F distinct-input control runs 5.47, same as serialized B/C).  Per-JIT-
+DISPATCH tunnel latency ~7-8 ms that does NOT pipeline across queued
+executions is the real fixed cost (D: 24 separate dispatches = 99 ms
+each); deep in-jit chains amortize it: headline 70 TF/s at depth 8 ->
+101 at depth 64.  bench.py now uses depth-64 lax.scan chains.
+
+Throwaway experiment: how much of the measured per-cell overhead is the
 DEPENDENT-CHAIN timing methodology rather than the kernel?
 
 exp_rowpipe2 accident: the same mm-only kernel measures 5.3us/cell when the

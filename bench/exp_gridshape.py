@@ -1,4 +1,7 @@
-"""Throwaway experiment: is the per-cell overhead a function of the GRID
+"""CONCLUSION (measured v5e): G1 in {48,12,4,1} all 5.0-5.9 us/cell —
+grid factorization irrelevant.  See exp_chain.py for the real cause.
+
+Throwaway experiment: is the per-cell overhead a function of the GRID
 SHAPE (outer parallel-dim size) alone?
 
 Everything else is ruled out (q/o/chain: exp_rowpipe2 T1-T4; kv DMA

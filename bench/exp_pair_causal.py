@@ -1,4 +1,7 @@
-"""Throwaway experiment: q-block pairing for the CAUSAL compact-grid kernel.
+"""CONCLUSION (measured v5e): 1024^2 pair OOMs scoped VMEM (19.65M > 16M);
+512^2 pair 36.4 vs 38.0 single — LOSES.
+
+Throwaway experiment: q-block pairing for the CAUSAL compact-grid kernel.
 
 exp_pair.py showed two independent q-blocks sharing one KV tile let Mosaic
 overlap one block's exp (VPU) with the other's matmuls (MXU): +33% on the

@@ -1,4 +1,7 @@
-"""Throwaway experiment v2: split-tile interleaving for the causal kernel.
+"""CONCLUSION (measured v5e): split-pair 63.0 TF/s vs repo 70.0 — LOSES.
+Half-width matmuls cost more than any interleave gain; parity bit-exact.
+
+Throwaway experiment v2: split-tile interleaving for the causal kernel.
 
 exp_pair_causal.py (adjacent 1024-row pairs, 1024-col kv) OOMs VMEM at the
 headline shape: two fp32 (1024, 1024) score tiles plus the masked branch's

@@ -1,4 +1,8 @@
-"""Throwaway experiment: where should int8-KV dequantization happen?
+"""CONCLUSION (measured v5e, depth-16 chains): A shipped 120.5 / B tiledeq
+1k 115.4 / B tiledeq 2k 133.9 / C tiledeq 4k 123.3 TF/s.  Tile-dequant
++ 2048-wide KV tiles shipped (quant/kv.py): flagship 136.8 TF/s.
+
+Throwaway experiment: where should int8-KV dequantization happen?
 
 The shipped quant kernel folds the K scale into the scores and the V scale
 into the attention weights — two (rows, bkv) fp32 multiplies per tile

@@ -1,4 +1,9 @@
-"""Throwaway experiment: fuse the causal kv loop INSIDE the kernel body.
+"""CONCLUSION (measured v5e): rowfuse 62.2 vs 67.9 grid-based — LOSES.
+In-body fori_loop serializes against the cross-cell pipeline.  mm-only at
+16k runs 3.67 us/cell ~= the 3.42 matmul floor: the grid is fine in
+steady state.
+
+Throwaway experiment: fuse the causal kv loop INSIDE the kernel body.
 
 exp_rowpipe.py isolated the L=4k bottleneck: ~6us per q-row of grid/DMA
 pipeline overhead that even a matmul-only body pays (5.77us/cell vs 3.42us

@@ -1,4 +1,8 @@
-"""Throwaway experiment: what exactly costs ~7us per causal q-row at L=4k?
+"""CONCLUSION (measured v5e): mm-only 5.77 us/cell at 4k vs 3.42 matmul
+floor — the overhead is NOT the softmax (full kernel only +0.5 us) and
+not the scratch (V4 2x-scratch 6.47).
+
+Throwaway experiment: what exactly costs ~7us per causal q-row at L=4k?
 
 exp_branchfree.py ruled out the @pl.when init/store/mask branches (V3 =
 V0).  At 64k the same body runs at pure-matmul per-cell time (6.91 vs

@@ -1,4 +1,9 @@
-"""Throwaway experiment: which stream causes the ~6us/row pipeline stall?
+"""CONCLUSION (measured v5e): T1-T4 all ~5.4 us/cell (q/o/chain ruled out);
+S1/S2 kv-pattern variants too (S2 const-kv with NO streaming DMA is
+slowest at 5.98!).  U: flat1D 6.15 loses; semantics neutral.  The real
+cause was found in exp_chain.py: per-dispatch tunnel latency.
+
+Throwaway experiment: which stream causes the ~6us/row pipeline stall?
 
 mm-only on the compact causal grid at L=4k pays 2.35us/cell over the
 matmul floor (≈6us/row); at 16k it's 0.25us/cell.  Candidates: the q-block

@@ -88,6 +88,7 @@ class InferenceEngine:
         draft_params=None,
         draft_cfg=None,
         spec_k: int = 4,
+        pipeline_scans: bool = True,
     ):
         """cfg: a GPTConfig (default architecture) or any config whose
         (n_layer, head_dim, dtype) fields exist; for non-GPT architectures
@@ -114,11 +115,14 @@ class InferenceEngine:
         blocking it avoids (measured — see BASELINE.md).
 
         draft_params/draft_cfg: attach a draft model for speculative
-        decoding (GPT-architecture path only).  While EVERY running request
-        is greedy, decode scans route through speculative_decode_loop (the
-        draft proposes spec_k tokens, the target verifies in one forward);
-        any sampled request falls back to the regular scan.  Greedy output
-        is identical either way (fp32-exact; see speculative.py)."""
+        decoding (GPT-architecture path only).  Routing is PER SLOT:
+        greedy requests decode through speculative_decode_loop (the draft
+        proposes spec_k tokens, the target verifies in one forward) with
+        non-greedy slots masked inactive, while sampled requests decode
+        through the regular scan — a mixed batch costs two dispatches per
+        round but one sampled request no longer disables speculation for
+        everyone.  Greedy output is identical either way (fp32-exact; see
+        speculative.py)."""
         self.params = params
         self.cfg = cfg
         self.slots = slots
@@ -147,13 +151,24 @@ class InferenceEngine:
                 p, toks, cfg, cache, slot, n
             )
         )
+        # Batched same-bucket admission (GPT path only; custom prefill_fn
+        # architectures admit one prompt per dispatch).
+        self._prefill_many = None
+        if prefill_fn is None:
+            from .model_runner import prefill_many
+
+            self._prefill_many = jax.jit(
+                lambda p, toks, cache, slots_, ns: prefill_many(
+                    p, toks, cfg, cache, slots_, ns
+                )
+            )
         self._decode = jax.jit(
             lambda p, toks, cache, active: _decode_impl(p, toks, cfg, cache, active)
         )
 
         def _scan(
             p, cache, first_toks, active, rng, temps, topks, topps,
-            sampling, use_top_p,
+            sampling, use_top_p, steps,
         ):
             def body(carry, _):
                 cache, toks, rng = carry
@@ -173,11 +188,13 @@ class InferenceEngine:
                 body,
                 (cache, first_toks, rng),
                 None,
-                length=self.scan_steps,
+                length=steps,
             )
             return cache, toks, rng
 
-        self._decode_scan = jax.jit(_scan, static_argnums=(8, 9))
+        # steps is static: one compile per distinct scan length (full + the
+        # shortened queue-pressure length — two in practice).
+        self._decode_scan = jax.jit(_scan, static_argnums=(8, 9, 10))
         self.draft_params = draft_params
         self.draft_cfg = draft_cfg
         self.spec_k = spec_k
@@ -206,14 +223,21 @@ class InferenceEngine:
                     p, toks, draft_cfg, cache, slot, n
                 )
             )
+            from .model_runner import prefill_many as _pm
+
+            self._draft_prefill_many = jax.jit(
+                lambda p, toks, cache, slots_, ns: _pm(
+                    p, toks, draft_cfg, cache, slots_, ns
+                )
+            )
             from .speculative import speculative_decode_loop
 
             n_spec_iters = max(1, self.scan_steps // (spec_k + 1))
 
-            def _spec(tp, dp, ct, cd, first):
+            def _spec(tp, dp, ct, cd, first, active):
                 return speculative_decode_loop(
                     tp, cfg, ct, dp, draft_cfg, cd, first,
-                    n_iters=n_spec_iters, k=spec_k,
+                    n_iters=n_spec_iters, k=spec_k, active=active,
                 )
 
             self._spec_scan = jax.jit(_spec)
@@ -242,6 +266,10 @@ class InferenceEngine:
         # running set changes.
         self._next_tokens_dev = jnp.zeros((slots,), jnp.int32)
         self._slot_cfg = None  # (active_dev, temps_dev, topks_dev, sampling)
+        # In-flight decode scan awaiting its host-side drain (pipelined
+        # scheduling; see step()).
+        self._pending = None
+        self.pipeline_scans = pipeline_scans
         self._uid = 0
         self._rng = jax.random.PRNGKey(rng_seed)
         self.stats = {"decode_steps": 0, "prefills": 0, "tokens_out": 0}
@@ -278,17 +306,39 @@ class InferenceEngine:
 
     def run(self, progress: Callable[[dict], None] | None = None) -> list[Request]:
         """Drive until queue + running are drained; returns finished requests."""
-        while self.queue or self.running or self.prefilling:
+        while (
+            self.queue or self.running or self.prefilling
+            or self._pending is not None
+        ):
             self.step()
             if progress:
                 progress(self.stats)
         return self.finished
 
     def step(self) -> None:
+        """One scheduler step.
+
+        Pipelined (no draft model): dispatch the next scan FIRST — it only
+        needs `toks_dev[-1]` from the previous scan, a device array, so the
+        device chain never waits on the host — and THEN drain the previous
+        scan's tokens: the D2H transfer and the host bookkeeping overlap
+        the new scan's device time instead of serializing with it
+        (measured: the synchronous loop spent ~10-15 ms of its ~45 ms scan
+        cycle waiting on the D2H round trip).  The price: retirements are
+        observed one scan late, so a finishing request over-generates one
+        scan (surplus dropped, as with in-scan finishes) and its slot
+        frees one step later.  Speculative engines keep the synchronous
+        loop (per-round host routing decisions).
+        """
         self._admit()
         self._advance_prefills()
+        prev = self._pending
+        self._pending = None
         if self.running:
             self._decode_all()
+        if prev is not None:
+            toks_dev, steps, slot_reqs = prev
+            self._drain_tokens(np.asarray(toks_dev), steps, slot_reqs)
 
     # ---------------------------------------------------------------- private
 
@@ -299,11 +349,25 @@ class InferenceEngine:
         raise ValueError(f"prompt length {n} exceeds max_len {self.max_len}")
 
     def _admit(self) -> None:
+        # Admission rounds repeat while requests finish on their very first
+        # token and re-free their slot for the next queued prompt.
+        while self._admit_round():
+            pass
+
+    def _admit_round(self) -> bool:
+        """One admission round: fill free slots, BATCHING same-bucket
+        prompts into one prefill dispatch (prefill_many).  Through the
+        tunnel a prefill dispatch costs ~30 ms of latency regardless of
+        batch size, so serial admission of a burst was ~half the engine's
+        wall time at 20 req/s; batch sizes are the powers of two <= slots,
+        bounding the compile count.  Returns True if a slot was re-freed
+        by a request that finished on its first token."""
         free = [
             s
             for s in range(self.slots)
             if s not in self.running and s not in self.prefilling
         ]
+        batch: list[tuple[int, Request, int, int]] = []
         while free and self.queue:
             slot = free.pop(0)
             req = self.queue.popleft()
@@ -315,46 +379,85 @@ class InferenceEngine:
                 # long prompt: admit incrementally, one chunk per step
                 self.prefilling[slot] = [req, 0]
                 continue
-            bucket = self._bucket_len(n)
-            toks = np.zeros((bucket,), np.int32)
-            toks[:n] = req.prompt
-            # Right-pad with the last token; the prefill computes logits at
-            # the true position n-1 and sets cache length = n directly, so
-            # padded admissions cost exactly one dispatch.
-            toks[n:] = req.prompt[-1]
-            self.cache, logits = self._prefill(
-                self.params,
-                jnp.asarray(toks),
-                self.cache,
-                jnp.int32(slot),
-                jnp.int32(n),
-            )
-            if self.draft_params is not None:
-                self.draft_cache, _ = self._draft_prefill(
-                    self.draft_params,
-                    jnp.asarray(toks),
-                    self.draft_cache,
-                    jnp.int32(slot),
-                    jnp.int32(n),
-                )
-                self._draft_stale.discard(slot)
-            if not self._finish_admission(slot, req, logits):
-                free.insert(0, slot)  # finished on its first token
+            batch.append((slot, req, n, self._bucket_len(n)))
+        refreed = False
+        groups: dict[int, list] = {}
+        for item in batch:
+            groups.setdefault(item[3], []).append(item)
+        for bucket, items in groups.items():
+            while items:
+                if self._prefill_many is None:
+                    m = 1
+                else:
+                    m = 1 << (len(items).bit_length() - 1)  # largest pow2
+                chunk, items = items[:m], items[m:]
+                # Right-pad with the last token; the prefill computes
+                # logits at the true position n-1 and sets cache length
+                # directly, so padded admissions cost one dispatch.
+                toks = np.zeros((m, bucket), np.int32)
+                slots_arr = np.zeros((m,), np.int32)
+                lens_arr = np.zeros((m,), np.int32)
+                for i, (slot, req, n, _) in enumerate(chunk):
+                    toks[i, :n] = req.prompt
+                    toks[i, n:] = req.prompt[-1]
+                    slots_arr[i] = slot
+                    lens_arr[i] = n
+                if m == 1:
+                    slot, req, n, _ = chunk[0]
+                    self.cache, logits = self._prefill(
+                        self.params,
+                        jnp.asarray(toks[0]),
+                        self.cache,
+                        jnp.int32(slot),
+                        jnp.int32(n),
+                    )
+                    logits = logits[None]
+                else:
+                    self.cache, logits = self._prefill_many(
+                        self.params,
+                        jnp.asarray(toks),
+                        self.cache,
+                        jnp.asarray(slots_arr),
+                        jnp.asarray(lens_arr),
+                    )
+                if self.draft_params is not None:
+                    if m == 1:
+                        self.draft_cache, _ = self._draft_prefill(
+                            self.draft_params,
+                            jnp.asarray(toks[0]),
+                            self.draft_cache,
+                            jnp.int32(chunk[0][0]),
+                            jnp.int32(chunk[0][2]),
+                        )
+                    else:
+                        self.draft_cache, _ = self._draft_prefill_many(
+                            self.draft_params,
+                            jnp.asarray(toks),
+                            self.draft_cache,
+                            jnp.asarray(slots_arr),
+                            jnp.asarray(lens_arr),
+                        )
+                    for slot, *_ in chunk:
+                        self._draft_stale.discard(slot)
+                for i, (slot, req, n, _) in enumerate(chunk):
+                    if not self._finish_admission(slot, req, logits[i]):
+                        refreed = True  # finished on its first token
+        return refreed and bool(self.queue)
 
-    def _all_running_greedy(self) -> bool:
-        return all(r.temperature <= 0.0 for r in self.running.values())
-
-    def _resync_draft_slots(self) -> None:
+    def _resync_draft_slots(self, slots) -> None:
         """Re-prefill draft-cache slots that decoded through the regular
-        scan (mixed greedy/sampled phases advance only the target cache).
+        scan (only the target cache advances there).
 
         speculative_decode_loop's precondition is equal lengths + identical
         accepted history in both caches; a lagging draft slot would propose
         from garbage and collapse acceptance.  The accepted history is
         prompt + output[:-1] (the last output token rides pending in
-        _next_tokens_dev, exactly like decode_loop).
+        _next_tokens_dev, exactly like decode_loop).  With per-slot
+        routing (greedy slots ALWAYS speculate) this is defensive — a
+        greedy slot no longer decodes through the regular scan — but it
+        keeps the precondition locally enforced rather than assumed.
         """
-        for slot in sorted(self._draft_stale & set(self.running)):
+        for slot in sorted(self._draft_stale & set(slots)):
             req = self.running[slot]
             hist = req.prompt + req.output[:-1]
             n = len(hist)
@@ -371,20 +474,26 @@ class InferenceEngine:
             self.stats["draft_resyncs"] = self.stats.get("draft_resyncs", 0) + 1
         self._draft_stale.clear()
 
-    def _decode_speculative(self) -> None:
-        """Route one decode round through the draft-verify loop.  Inactive
-        slots compute garbage and their lengths drift, which is safe: the
-        scheduler ignores their tokens and admission prefill resets both
-        caches' rows and lengths for the slot."""
+    def _decode_speculative(self, slots) -> None:
+        """Route one decode round through the draft-verify loop for the
+        given (greedy) slots.  Slots outside `slots` — empty or sampled —
+        are masked inactive: they compute garbage but their cache lengths
+        never advance and the rows the round scribbles sit past their
+        lengths (dead by the cache contract), so sampled requests sharing
+        the batch are untouched."""
         from .speculative import PAD, gather_tokens
 
-        self._resync_draft_slots()
+        self._resync_draft_slots(slots)
+        active = np.zeros((self.slots,), bool)
+        for s in slots:
+            active[s] = True
         self.cache, self.draft_cache, toks_dev, counts_dev = self._spec_scan(
             self.params,
             self.draft_params,
             self.cache,
             self.draft_cache,
             self._next_tokens_dev,
+            jnp.asarray(active),
         )
         toks = np.asarray(toks_dev)  # [iters, S, k+1]
         counts = np.asarray(counts_dev)  # [iters, S]
@@ -392,7 +501,8 @@ class InferenceEngine:
         self.stats["spec_rounds"] = self.stats.get("spec_rounds", 0) + 1
         done: list[int] = []
         next_toks = np.array(self._next_tokens_dev)  # writable copy
-        for slot, req in self.running.items():
+        for slot in slots:
+            req = self.running[slot]
             emitted = gather_tokens(toks, counts, slot)
             finished = False
             for tok in emitted:
@@ -522,16 +632,32 @@ class InferenceEngine:
         host-side and the slot is retired — a few wasted device steps buy
         the removal of the ~ms-scale per-token dispatch latency.
         """
-        if self.draft_params is not None and self._all_running_greedy():
-            self._decode_speculative()
-            return
+        if self.draft_params is not None:
+            # Per-slot routing: greedy slots speculate, sampled slots take
+            # the regular scan — one sampled request no longer disables
+            # speculation for the whole batch (two dispatches per round
+            # only when the batch is actually mixed).
+            greedy = [
+                s for s, r in self.running.items() if r.temperature <= 0.0
+            ]
+            sampled = [
+                s for s, r in self.running.items() if r.temperature > 0.0
+            ]
+            if greedy:
+                self._decode_speculative(greedy)
+            if not sampled:
+                return
+            decode_slots = sampled
+        else:
+            decode_slots = list(self.running)
         if self._slot_cfg is None:
             active = np.zeros((self.slots,), bool)
             temps = np.zeros((self.slots,), np.float32)
             vocab = getattr(self.cfg, "vocab_size", None) or 1 << 30
             topks = np.full((self.slots,), vocab, np.int32)
             topps = np.ones((self.slots,), np.float32)
-            for s, req in self.running.items():
+            for s in decode_slots:
+                req = self.running[s]
                 active[s] = True
                 temps[s] = req.temperature
                 if req.top_k is not None:
@@ -547,6 +673,34 @@ class InferenceEngine:
                 bool((topps < 1.0).any()),  # skip nucleus work when unused
             )
         active_d, temps_d, topks_d, topps_d, sampling, use_top_p = self._slot_cfg
+        # Adaptive scan length: a queued arrival waits out the in-flight
+        # scan before it can be admitted (admission runs between scans, and
+        # with the queue non-empty every slot is necessarily busy — _admit
+        # fills free slots first).  Blindly shortening every scan under
+        # pressure retires slots sooner but costs ~4x the dispatches and
+        # collapses throughput at saturation (measured: 40 req/s p50
+        # 405 -> 840 ms).  Instead shorten only to the nearest PREDICTABLE
+        # retirement: when some running request is within scan_steps of its
+        # max_new_tokens budget, scan just far enough (rounded down to a
+        # power of two — one compile per distinct static length, five
+        # total) to retire it, admit, and also stop wasting device steps
+        # over-generating past its budget.  At saturation with long-lived
+        # requests this leaves full-length scans (and throughput) intact.
+        # Only under a SHALLOW queue (an arrival burst): a deep queue means
+        # saturation, where admission latency is bounded by throughput, and
+        # extra short-scan dispatches only lower it (measured at 40 req/s:
+        # unguarded rem-shortening cost ~8% tokens/s and ~150 ms p50).
+        steps = self.scan_steps
+        shallow = 0 < (len(self.queue) + len(self.prefilling)) <= max(
+            2, self.slots // 4
+        )
+        if shallow or self.prefilling:
+            rem = min(
+                self.running[s].max_new_tokens - len(self.running[s].output)
+                for s in decode_slots
+            )
+            if rem < steps:
+                steps = max(1, 1 << (max(rem, 1).bit_length() - 1))
         self.cache, toks_dev, self._rng = self._decode_scan(
             self.params,
             self.cache,
@@ -558,18 +712,47 @@ class InferenceEngine:
             topps_d,
             sampling,
             use_top_p,
+            steps,
         )
-        self._next_tokens_dev = toks_dev[-1]
+        # toks_dev[-1] carries garbage for slots OUTSIDE this scan (greedy
+        # slots in mixed mode, empty slots): keep their previous tokens.
+        if self.draft_params is not None and len(decode_slots) < len(
+            self.running
+        ):
+            prev = np.array(self._next_tokens_dev)
+            new = np.asarray(toks_dev[-1])
+            for s in decode_slots:
+                prev[s] = new[s]
+            self._next_tokens_dev = jnp.asarray(prev)
+        else:
+            self._next_tokens_dev = toks_dev[-1]
         if self.draft_params is not None:
             # Regular scans advance only the target cache; mark the slots
-            # so the next speculative round re-syncs their draft rows.
-            self._draft_stale.update(self.running.keys())
-        toks = np.asarray(toks_dev)  # [scan_steps, slots] — one D2H per scan
-        self.stats["decode_steps"] += self.scan_steps
+            # so a future speculative round re-syncs their draft rows (a
+            # sampled request never speculates, but its slot may later be
+            # re-used — defensive, see _resync_draft_slots).
+            self._draft_stale.update(decode_slots)
+        self.stats["decode_steps"] += steps
+        slot_reqs = [(s, self.running[s]) for s in decode_slots]
+        if self.draft_params is None and self.pipeline_scans:
+            # Pipelined: the host-side drain (one D2H) happens at the
+            # bottom of the NEXT step, overlapped with that step's
+            # dispatched scan.
+            self._pending = (toks_dev, steps, slot_reqs)
+        else:
+            self._drain_tokens(np.asarray(toks_dev), steps, slot_reqs)
+
+    def _drain_tokens(self, toks, steps: int, slot_reqs) -> None:
+        """Host bookkeeping for one scan's [steps, slots] token block:
+        append tokens, stream callbacks, retire finished requests."""
         done: list[int] = []
-        for slot, req in self.running.items():
+        for slot, req in slot_reqs:
+            if req.finish_time is not None:
+                # Retired at the previous drain while this scan was already
+                # in flight (pipelined over-generation): drop the surplus.
+                continue
             finished = False
-            for step in range(self.scan_steps):
+            for step in range(steps):
                 tok = int(toks[step, slot])
                 req.output.append(tok)
                 if req.on_token is not None:

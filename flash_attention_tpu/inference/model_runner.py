@@ -11,6 +11,8 @@ are supported in both paths via `_matmul`.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -86,6 +88,48 @@ def prefill(
         n = length
     logits = (last @ params["wte"].astype(x.dtype).T).astype(jnp.float32)
     cache = kvc.set_length(cache, slot, n)
+    return cache, logits
+
+
+def prefill_many(
+    params,
+    tokens: jax.Array,
+    cfg: GPTConfig,
+    cache: kvc.KVCache,
+    slots: jax.Array,
+    lengths: jax.Array,
+) -> tuple[kvc.KVCache, jax.Array]:
+    """Batched admission: prefill M same-bucket prompts in ONE dispatch.
+
+    tokens [M, T] (right-padded to the shared bucket T), slots [M],
+    lengths [M] true lengths.  Returns (cache, logits [M, vocab] at each
+    prompt's last real token).  Motivation (measured through the axon
+    tunnel): a prefill dispatch costs ~30 ms of round-trip latency, so
+    admitting a burst serially taxes the engine ~30 ms x M — at 20 req/s
+    that was ~half the engine's wall time; one batched dispatch pays the
+    latency once and the forward batches on the MXU.
+    """
+    m, t = tokens.shape
+    d, h, hkv = cfg.head_dim, cfg.n_head, cfg.kv_heads
+    x = (params["wte"][tokens] + params["wpe"][:t]).astype(cfg.dtype)
+    for li, blk in enumerate(params["blocks"]):
+        xa = _layer_norm(x, blk["ln1"])
+        q, k, v = _qkv(xa, blk, cfg)
+        q = q.reshape(m, t, h, d).transpose(0, 2, 1, 3)
+        k = k.reshape(m, t, hkv, d).transpose(0, 2, 1, 3)
+        v = v.reshape(m, t, hkv, d).transpose(0, 2, 1, 3)
+        for i in range(m):
+            cache = kvc.prefill_write(cache, li, slots[i], k[i], v[i])
+        y = flash_attention(q, k, v, causal=True)
+        y = y.transpose(0, 2, 1, 3).reshape(m, t, h * d)
+        x = x + _matmul(y, blk["attn"]["wo"], blk["attn"]["bo"])
+        x = x + _mlp(_layer_norm(x, blk["ln2"]), blk, cfg)
+    x = _layer_norm(x, params["lnf"])
+    last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0]
+    logits = (last @ params["wte"].astype(x.dtype).T).astype(jnp.float32)
+    cache = dataclasses.replace(
+        cache, lengths=cache.lengths.at[slots].set(lengths)
+    )
     return cache, logits
 
 

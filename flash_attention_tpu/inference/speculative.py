@@ -51,6 +51,7 @@ def speculative_decode_loop(
     first_tokens: jax.Array,
     n_iters: int,
     k: int = 4,
+    active: jax.Array | None = None,
 ) -> tuple[kvc.KVCache, kvc.KVCache, jax.Array, jax.Array]:
     """Greedy speculative decoding, fully on-device.
 
@@ -59,6 +60,14 @@ def speculative_decode_loop(
     [S] is the last accepted token per slot (not yet written to either
     cache — the next step writes it, exactly like `decode_loop`).  The
     draft cache must have at least the target cache's capacity (checked).
+
+    `active` [S] bool masks which slots participate (None = all).  An
+    inactive slot computes garbage (static shapes) but its cache lengths
+    never advance, and every row the round writes sits at or past its
+    current length — garbage rows past `lengths` are dead by the cache
+    contract, so an inactive slot's real context is untouched.  This is
+    what lets the engine route greedy slots through speculation while
+    sampled slots decode through the regular scan in the same batch.
 
     Returns (target_cache, draft_cache, tokens [n_iters, S, k+1], counts
     [n_iters, S]): iteration i emitted tokens[i, s, :counts[i, s]] for
@@ -119,8 +128,11 @@ def speculative_decode_loop(
 
         # "Rollback" = lengths update: rows l0..l0+a hold the accepted
         # [cur, d_1..d_a] in BOTH caches (the draft wrote the same token
-        # positions during its scan).
+        # positions during its scan).  Inactive slots keep their length —
+        # the rows this round scribbled sit past it and stay dead.
         new_len = jnp.minimum(l0 + a + 1, cache_t.max_len - 1)
+        if active is not None:
+            new_len = jnp.where(active, new_len, l0)
         cache_t = kvc.KVCache(
             cache_t.k, cache_t.v, cache_t.k_scale, cache_t.v_scale, new_len
         )

@@ -273,3 +273,68 @@ def test_engine_streaming_callback(params):
     done = {r.uid: r.output for r in eng.run()}
     for uid in uids:
         assert streamed[uid] == done[uid], (streamed[uid], done[uid])
+
+
+def test_prefill_many_matches_serial_prefill(params):
+    """Batched admission core: prefill_many over M same-bucket prompts
+    must produce the same cache rows, lengths, and logits as M serial
+    prefills (fp32-exact up to batched-matmul reduction order)."""
+    from flash_attention_tpu.inference.model_runner import prefill_many
+
+    rng = np.random.default_rng(3)
+    bucket = 32
+    prompts = [rng.integers(0, CFG.vocab_size, n).tolist() for n in (7, 32, 19)]
+    toks = np.zeros((3, bucket), np.int32)
+    for i, p in enumerate(prompts):
+        toks[i, : len(p)] = p
+        toks[i, len(p) :] = p[-1]
+    lens = np.asarray([len(p) for p in prompts], np.int32)
+    slots = np.asarray([2, 0, 3], np.int32)
+
+    def fresh():
+        return init_cache(
+            CFG.n_layer, 4, CFG.kv_heads, CFG.block_size, CFG.head_dim,
+            dtype=CFG.dtype,
+        )
+
+    c1 = fresh()
+    serial_logits = []
+    for i in range(3):
+        c1, lg = prefill(
+            params, jnp.asarray(toks[i]), CFG, c1,
+            jnp.int32(slots[i]), jnp.int32(lens[i]),
+        )
+        serial_logits.append(lg)
+    c2, many_logits = prefill_many(
+        params, jnp.asarray(toks), CFG, fresh(),
+        jnp.asarray(slots), jnp.asarray(lens),
+    )
+    assert np.array_equal(np.asarray(c1.lengths), np.asarray(c2.lengths))
+    np.testing.assert_allclose(
+        np.asarray(many_logits), np.asarray(jnp.stack(serial_logits)),
+        rtol=1e-5, atol=1e-5,
+    )
+    for li in range(CFG.n_layer):
+        for s, n in zip(slots, lens):
+            np.testing.assert_allclose(
+                np.asarray(c2.k[li][:, s, :n]),
+                np.asarray(c1.k[li][:, s, :n]),
+                rtol=1e-5, atol=1e-5,
+            )
+
+
+def test_engine_batched_admission_matches_serial(params):
+    """A burst of same-bucket prompts admitted through prefill_many must
+    produce exactly the serial-admission outputs (greedy, fp32)."""
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(0, CFG.vocab_size, 12).tolist() for _ in range(6)]
+
+    def run(batched: bool):
+        eng = InferenceEngine(params, CFG, slots=4, max_len=128, scan_steps=4)
+        if not batched:
+            eng._prefill_many = None  # force the serial admission path
+        for p in prompts:
+            eng.submit(p, max_new_tokens=8)
+        return {r.uid: r.output for r in eng.run()}
+
+    assert run(True) == run(False)
