@@ -634,10 +634,17 @@ def bench_train(batch=8, block=1024, steps=8) -> dict:
 
     @jax.jit
     def chained(params, opt_state, idx, rng):
-        loss = jnp.float32(0)
-        for _ in range(steps):
-            params, opt_state, loss = step(params, opt_state, idx, idx, rng)
-        return params, opt_state, loss
+        # lax.scan keeps the compile payload one step deep (an unrolled
+        # 8-step 124M-param graph took minutes to compile via the tunnel)
+        def body(carry, _):
+            p, s = carry
+            p, s, loss = step(p, s, idx, idx, rng)
+            return (p, s), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=steps
+        )
+        return params, opt_state, losses[-1]
 
     p, o, loss = chained(params, opt_state, idx, rng)
     float(loss)
