@@ -2,8 +2,12 @@
 LOSES: fwd 15.5 vs 16.8 TF/s, fwd+bwd 22.5 vs 24.8.  At L=1024 every
 bh-row is a single boundary tile (~8 us/cell vs 1.7 us of matmul), so
 per-cell pipeline overhead — not MXU lane width — bounds D=64 attention;
-the pack's XLA reshape passes only add bandwidth.  Kept as the recipe
-for a future case where d-contraction genuinely binds (long-L D=64).
+the pack's XLA reshape passes only add bandwidth.  Long-context check:
+LOSES there too (L=32k: 65.5 vs 68.9; L=64k: 71.1 vs 73.7) — plain D=64
+at 64k already runs at ~94% of its half-lane matmul ceiling (~78 TF/s),
+and the packed variant's discarded PV half caps its useful ceiling near
+105 while the pack passes eat the rest.  Lane packing loses everywhere
+on v5e; kept as the recorded negative.
 
 Throwaway experiment: dual-head lane packing for D=64 attention.
 
