@@ -690,15 +690,22 @@ class InferenceEngine:
         # saturation, where admission latency is bounded by throughput, and
         # extra short-scan dispatches only lower it (measured at 40 req/s:
         # unguarded rem-shortening cost ~8% tokens/s and ~150 ms p50).
-        steps = self.scan_steps
+        rems = [
+            self.running[s].max_new_tokens - len(self.running[s].output)
+            for s in decode_slots
+        ]
+        # Never scan past every request's remaining budget (pure win: the
+        # surplus would be dropped; with pipelining a full surplus scan
+        # would otherwise follow every final retirement).  Power-of-two
+        # lengths keep the compile count at log2(scan_steps)+1.
+        max_rem = max(max(rems), 1)
+        steps = min(self.scan_steps, 1 << (max_rem - 1).bit_length())
+        steps = max(1, steps)
         shallow = 0 < (len(self.queue) + len(self.prefilling)) <= max(
             2, self.slots // 4
         )
         if shallow or self.prefilling:
-            rem = min(
-                self.running[s].max_new_tokens - len(self.running[s].output)
-                for s in decode_slots
-            )
+            rem = min(rems)
             if rem < steps:
                 steps = max(1, 1 << (max(rem, 1).bit_length() - 1))
         self.cache, toks_dev, self._rng = self._decode_scan(

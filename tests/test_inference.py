@@ -338,3 +338,21 @@ def test_engine_batched_admission_matches_serial(params):
         return {r.uid: r.output for r in eng.run()}
 
     assert run(True) == run(False)
+
+
+def test_adaptive_scan_shortens_near_retirement(params):
+    """Queue pressure + a request near its token budget must shorten the
+    decode scan (power-of-two steps) instead of over-generating a full
+    scan: with slots=1 occupied by a 4-token request and one queued
+    request, the engine should spend far fewer device steps than
+    full-scan over-generation would."""
+    eng = InferenceEngine(params, CFG, slots=1, max_len=128, scan_steps=16)
+    eng.submit([1, 2, 3], max_new_tokens=4)
+    eng.submit([4, 5, 6], max_new_tokens=4)
+    out = eng.run()
+    assert all(len(r.output) == 4 for r in out)
+    # each request needs 3 scanned tokens; the max-budget cap bounds every
+    # scan at 4 steps and queue pressure shortens further, so the total
+    # (incl. pipelined surplus scans) stays far under the 32+ steps two
+    # blind 16-step scans per request would burn.
+    assert eng.stats["decode_steps"] <= 18, eng.stats
