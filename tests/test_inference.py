@@ -356,3 +356,46 @@ def test_adaptive_scan_shortens_near_retirement(params):
     # (incl. pipelined surplus scans) stays far under the 32+ steps two
     # blind 16-step scans per request would burn.
     assert eng.stats["decode_steps"] <= 18, eng.stats
+
+
+def test_prefill_many_gqa():
+    """prefill_many under GQA (n_kv_head < n_head) matches serial prefill."""
+    from flash_attention_tpu.inference.model_runner import prefill_many
+
+    cfg = gpt.GPTConfig(
+        vocab_size=64, block_size=128, n_layer=2, n_head=4, n_kv_head=2,
+        n_embd=64, dropout=0.0, dtype=jnp.float32,
+    )
+    params = gpt.init_params(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(6)
+    bucket = 16
+    prompts = [rng.integers(0, 64, n).tolist() for n in (9, 16)]
+    toks = np.zeros((2, bucket), np.int32)
+    for i, p in enumerate(prompts):
+        toks[i, : len(p)] = p
+        toks[i, len(p) :] = p[-1]
+    lens = np.asarray([len(p) for p in prompts], np.int32)
+    slots = np.asarray([1, 0], np.int32)
+
+    def fresh():
+        return init_cache(
+            cfg.n_layer, 2, cfg.kv_heads, cfg.block_size, cfg.head_dim,
+            dtype=cfg.dtype,
+        )
+
+    c1 = fresh()
+    serial = []
+    for i in range(2):
+        c1, lg = prefill(
+            params, jnp.asarray(toks[i]), cfg, c1,
+            jnp.int32(slots[i]), jnp.int32(lens[i]),
+        )
+        serial.append(lg)
+    c2, many = prefill_many(
+        params, jnp.asarray(toks), cfg, fresh(),
+        jnp.asarray(slots), jnp.asarray(lens),
+    )
+    assert np.array_equal(np.asarray(c1.lengths), np.asarray(c2.lengths))
+    np.testing.assert_allclose(
+        np.asarray(many), np.asarray(jnp.stack(serial)), rtol=1e-5, atol=1e-5
+    )
