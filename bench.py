@@ -331,6 +331,46 @@ def bench_engine(
     }
 
 
+def bench_engine_capacity(slots=8, n_requests=24, prompt_len=200,
+                          max_new_tokens=64, scan_steps=16) -> dict:
+    """Like-for-like engine capacity: all requests submitted at once (no
+    arrival process), total tokens / wall.  The Poisson rows measure
+    latency under load; this row isolates sustained throughput — the
+    number the scheduler changes (batched admission, pipelined scans,
+    budget-capped adaptive scans) move directly."""
+    import numpy as np
+
+    from flash_attention_tpu.inference.engine import InferenceEngine
+    from flash_attention_tpu.models import gpt
+
+    cfg = gpt.GPT2_124M
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    eng = InferenceEngine(
+        params, cfg, slots=slots, max_len=512, scan_steps=scan_steps
+    )
+    rng = np.random.default_rng(0)
+    prompts = [
+        rng.integers(0, cfg.vocab_size, prompt_len).tolist()
+        for _ in range(n_requests)
+    ]
+    for p in prompts[: slots + 2]:
+        eng.submit(p, max_new_tokens=scan_steps)
+    eng.run()
+    eng.finished.clear()
+    eng.stats = {"decode_steps": 0, "prefills": 0, "tokens_out": 0}
+    t0 = time.perf_counter()
+    for p in prompts:
+        eng.submit(p, max_new_tokens=max_new_tokens)
+    eng.run()
+    dt = time.perf_counter() - t0
+    toks = sum(len(r.output) for r in eng.finished)
+    return {
+        "config": f"engine capacity slots{slots} scan{scan_steps} x{n_requests}",
+        "tokens_per_s": toks / dt,
+        "decode_steps": eng.stats["decode_steps"],
+    }
+
+
 def bench_speculative(slots=8, ctx=512, n_iters=24, k=4) -> dict:
     """Speculative decoding: GPT-2 124M target + a 2-layer draft, vs the
     vanilla decode_loop.  Greedy spec decode emits the target's exact
@@ -724,6 +764,13 @@ def worker(args) -> int:
                     file=sys.stderr,
                 )
     if args.engine:
+        r = _row(bench_engine_capacity)
+        if r:
+            print(
+                f"{r['config']:55s} {r['tokens_per_s']:7.0f} tok/s "
+                f"({r['decode_steps']} decode steps)",
+                file=sys.stderr,
+            )
         r = _row(bench_engine)
         if r:
             print(
