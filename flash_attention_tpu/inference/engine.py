@@ -622,8 +622,9 @@ class InferenceEngine:
     def _decode_all(self) -> None:
         """Generate up to scan_steps tokens per running slot in ONE dispatch.
 
-        With a draft model attached and an all-greedy running set, the
-        round goes through the speculative draft-verify loop instead.
+        With a draft model attached, routing is per slot: greedy slots go
+        through the speculative draft-verify loop (active-masked); sampled
+        slots fall through to the regular scan below.
 
         Sampling happens on-device inside the scan (per-slot temperature /
         top_k), so the host only sees the [scan_steps, slots] token block.
