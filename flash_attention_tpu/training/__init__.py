@@ -7,7 +7,12 @@ from .checkpoint import (
     save_checkpoint,
 )
 from .metrics import MetricsLogger
-from .optimizer import cosine_schedule, decay_mask, make_optimizer
+from .optimizer import (
+    cosine_schedule,
+    decay_mask,
+    fused_clip_adamw,
+    make_optimizer,
+)
 from .trainer import Trainer, TrainerConfig, make_eval_step, make_train_step
 
 __all__ = [
@@ -17,6 +22,7 @@ __all__ = [
     "cosine_schedule",
     "decay_mask",
     "enable_compilation_cache",
+    "fused_clip_adamw",
     "latest_step_dir",
     "make_eval_step",
     "make_optimizer",
