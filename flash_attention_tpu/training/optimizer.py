@@ -58,16 +58,21 @@ def fused_clip_adamw(
 ) -> optax.GradientTransformation:
     """Single-pass clip-by-global-norm + AdamW.
 
-    Numerically identical to
+    Numerically equivalent (float-rounding level) to
     ``optax.chain(clip_by_global_norm(c), adamw(...))`` but ONE traversal
-    of the gradient tree: the optax chain materializes the clipped
-    gradient tree between the two transforms and serializes three full
-    HBM passes over the ~0.5 GB fp32 gradients.  Measured on v5e (GPT-2
-    124M, b8 x 1024): the chain's clip costs ~5.5 ms/step on top of
-    AdamW; fused, the whole update is ~2 ms cheaper than unfused AdamW
-    alone plus the unavoidable norm pre-pass.
+    of the gradient tree instead of the chain's transform-by-transform
+    tree materialization.
 
-    The clip factor is where(norm < c, 1, c/norm) — bit-matching
+    Measured on v5e (GPT-2 124M, b8 x 1024, controlled same-session
+    A/B): NEUTRAL — 69.01 fused vs 69.06 ms/step chain.  XLA already
+    fuses the optax chain's per-leaf elementwise passes under jit, so
+    the hand fusion buys nothing on this path; kept as an option for
+    optimizers/shapes where XLA's fusion falls short, and as the
+    recorded negative (an earlier substitution-based decomposition
+    attributed ~5 ms to the clip — that delta was tunnel noise, which is
+    why step-level claims here require same-session A/Bs).
+
+    The clip factor is where(norm < c, 1, c/norm) — matching
     optax.clip_by_global_norm.  Bias correction, eps placement
     (eps_root=0), and the decayed-weights mask match optax.adamw.
     """
@@ -129,11 +134,15 @@ def make_optimizer(
     warmup_iters: int = 100,
     lr_decay_iters: int = 2000,
     min_lr: float | None = None,
-    fused: bool = True,
+    fused: bool = False,
 ) -> optax.GradientTransformation:
-    """fused=True (default) uses the single-pass clip+AdamW above —
-    same math as the optax chain (pinned by test_fused_adamw_parity),
-    measurably cheaper per step.  fused=False keeps the optax chain."""
+    """fused=True uses the single-pass clip+AdamW above — same math as
+    the optax chain (pinned by test_fused_adamw_parity).  Measured on
+    v5e (GPT-2 124M step, controlled same-session A/B): NEUTRAL — 69.01
+    vs 69.06 ms/step — XLA already fuses the optax chain's passes under
+    jit.  Default stays False (keeps optax state pytrees in checkpoints);
+    the option exists for optimizers/shapes where XLA's fusion falls
+    short."""
     schedule = cosine_schedule(
         learning_rate,
         warmup_iters,
