@@ -1,4 +1,12 @@
-"""Round-4 experiment: FUSED single-cell backward (dq+dk+dv in one kernel).
+"""CONCLUSION (measured v5e, same-session best-of): fused LOSES — 2.310
+vs 2.022 ms fwd+bwd at the train shape (13.9 vs 15.9 TF/s).  Grad parity
+is clean (<=6.1e-5), but the single 1024^2 cell visits the full square
+(ratio 2.0) while the shipped 512-split visits 1.5x counted; the saved
+recompute matmul chain + exp (5.0 units/1 exp vs 5.25/1.5) does not
+cover the 33% extra visited work.  Same verdict as the big-bwd-tile
+sweep: at this shape visited-cell geometry dominates everything else.
+
+Round-4 experiment: FUSED single-cell backward (dq+dk+dv in one kernel).
 
 At the GPT-2 train shape (L=1024, D=64) the whole attention problem fits
 one tile, so the backward can be ONE pallas call per bh row: recompute p
@@ -49,7 +57,7 @@ def _fused_bwd_kernel(
     row = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
     s = jnp.where(col <= row, s, DEFAULT_MASK_VALUE)
-    lse = lse_ref[0].reshape(lq, 1)
+    lse = lse_ref[0, 0].reshape(lq, 1)
     p = jnp.exp2(s - lse * _LOG2E)
     # dv = p^T @ do
     dv = jax.lax.dot_general(
@@ -61,7 +69,7 @@ def _fused_bwd_kernel(
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    di = di_ref[0].reshape(lq, 1)
+    di = di_ref[0, 0].reshape(lq, 1)
     ds = p * (dp - di) * sm_scale
     dsc = ds.astype(q.dtype)
     # dk = ds^T @ q / (sm_scale*log2e)
@@ -93,8 +101,8 @@ def fused_bwd(q, k, v, do, o, lse, *, sm_scale):
             pl.BlockSpec((1, lk, d), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, lk, d), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, lq, d), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, lq), lambda b: (b, 0)),
-            pl.BlockSpec((1, lq), lambda b: (b, 0)),
+            pl.BlockSpec((1, 1, lq), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, lq), lambda b: (b, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, lq, d), lambda b: (b, 0, 0)),
@@ -109,7 +117,7 @@ def fused_bwd(q, k, v, do, o, lse, *, sm_scale):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(qs, k, v, do, lse, di)
+    )(qs, k, v, do, lse.reshape(bh, 1, lq), di.reshape(bh, 1, lq))
 
 
 def main():

@@ -313,8 +313,14 @@ def _fwd_kernel(
     rows = group * bq
 
     def score_tile(causal_mask: bool, kv_mask: bool):
-        """q @ k^T for this tile, exp2-domain pre-scaled, masked."""
+        """q @ k^T for this tile, exp2-domain scaled in-register, masked.
+
+        The sm_scale*log2(e) fold happens HERE on the (rows, d) VMEM tile
+        — not as a host-side pass over q, which cost a full q read+write
+        per layer (round 4; the tile mul is ~bkv/d times cheaper than
+        scaling the scores and reuses the already-loaded tile)."""
         q = q_ref[0].reshape(rows, d)
+        q = (q.astype(jnp.float32) * (params.sm_scale * _LOG2E)).astype(q.dtype)
         s = jax.lax.dot_general(
             q, k_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -363,29 +369,13 @@ def _fwd_kernel(
         acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
     def body(causal_mask: bool, kv_mask: bool):
-        # q arrives pre-scaled by sm_scale*log2(e) (host-side, fused into the
-        # padding copy) — the kernel runs entirely in the exp2 domain.
+        # "attn_ij = q_i @ k_j.T" (cf. …cpp:254), exp2-domain (score_tile).
         # (A two-level kv tiling — sub-tile loop inside the bkv block, meant
         # to overlap sub-tile QK^T with the previous sub-tile's softmax —
         # was implemented and swept on v5e: 42-34 TF/s vs 63 single-level at
         # the headline shape.  Mosaic does not interleave the streams, so
         # the split only adds per-sub-tile reduction overhead; removed.)
-        q = q_ref[0].reshape(rows, d)
-        # s = q @ k^T  "attn_ij = q_i @ k_j.T" (cf. …cpp:254)
-        s = jax.lax.dot_general(
-            q, k_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_mm_precision(q.dtype),
-        )
-        mask = _mask_for_block(
-            params, i, j * bkv, rows, bq, bkv,
-            causal=causal_mask, kv_mask=kv_mask,
-        )
-        if mask is not None:
-            s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
-        if params.segmented:
-            seg = _seg_mask(qseg_ref, kvseg_ref, 0, bkv, group, bq)
-            s = s + jnp.where(seg, 0.0, DEFAULT_MASK_VALUE)
+        s = score_tile(causal_mask, kv_mask)
 
         m_prev = m_scr[...]  # (rows, 128), lane-replicated
         l_prev = l_scr[...]
@@ -445,10 +435,11 @@ def _fwd(params: _Params, q, k, v, qseg=None, kvseg=None, need_lse=True):
     """q: [BH, group, Lq, D]; k, v: [BH, Lkv, D]; optional segment ids
     qseg [BH, 1, Lq], kvseg [BH, 1, Lkv] (padded, aligned).  Returns
     (out, lse); lse is None when need_lse=False (the second output stream
-    costs ~8% throughput, so the inference path drops it)."""
-    # exp2-domain softmax: fold sm_scale*log2(e) into q here (one fused XLA
-    # elementwise op) instead of scaling the (rows, bkv) scores per tile.
-    q = (q.astype(jnp.float32) * (params.sm_scale * _LOG2E)).astype(q.dtype)
+    costs ~8% throughput, so the inference path drops it).
+
+    q arrives RAW: the exp2-domain sm_scale*log2(e) fold happens on the
+    (rows, d) tile inside the kernel (score_tile) — a host-side pass here
+    cost a full q read+write per call when no padding copy absorbed it."""
     bh, group, lq, d = q.shape
     lk = k.shape[1]
     bq, bkv = params.blocks.block_q, params.blocks.block_kv
@@ -579,12 +570,15 @@ def _recompute_p(
     qseg_ref=None, kvseg_ref=None,
 ):
     """attn = exp(q @ k^T * scale - lse), masked, via the exp2 domain:
-    p = exp2(qs @ k^T - lse*log2e); qs arrives pre-scaled by scale*log2e
-    host-side.  (cf. …cpp:457-459)"""
+    p = exp2(qs @ k^T - lse*log2e) with qs = q * scale*log2e computed
+    in-register on the (rows, d) tile (cf. …cpp:457-459).  Returns
+    (p, q_raw, k): q_raw is UNSCALED, so dk = ds^T @ q_raw needs no
+    unscale at the store."""
     q = q_ref[0].reshape(rows, d)
+    qs = (q.astype(jnp.float32) * (params.sm_scale * _LOG2E)).astype(q.dtype)
     k = k_ref[0]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+        qs, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=_mm_precision(q.dtype),
     )
@@ -658,14 +652,16 @@ def _dkv_kernel(
                 precision=_mm_precision(do.dtype),
             )
             di = _rowcol(di_ref, rows // bq, bq)
-            ds = p * (dp - di) * params.sm_scale
+            # sm_scale folded into the (rows, d) q tile, not the
+            # (rows, bkv) ds tile — bkv/d times fewer multiplies
+            ds = p * (dp - di)
+            qs = (q.astype(jnp.float32) * params.sm_scale).astype(q.dtype)
             dk = jax.lax.dot_general(
-                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                ds.astype(q.dtype), qs, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_mm_precision(q.dtype),
             )
-            unscale = 1.0 / (params.sm_scale * _LOG2E)
-            dk_ref[...] = (dk * unscale).reshape(1, bkv, d).astype(dk_ref.dtype)
+            dk_ref[...] = dk.reshape(1, bkv, d).astype(dk_ref.dtype)
 
         if ncells is None:
             _dispatch_block(params, i, j, bq, bkv, nj, kv_padded, single_body)
@@ -701,11 +697,13 @@ def _dkv_kernel(
             precision=_mm_precision(do.dtype),
         )
         di = _rowcol(di_ref, rows // bq, bq)
-        ds = p * (dp - di) * params.sm_scale
+        # sm_scale folded into the (rows, d) q tile (see single-pass note)
+        ds = p * (dp - di)
+        qs = (q.astype(jnp.float32) * params.sm_scale).astype(q.dtype)
         # dk += dattn^T @ q  (cf. …cpp:472)
         dk_scr[...] += jax.lax.dot_general(
             ds.astype(q.dtype),
-            q,
+            qs,
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_mm_precision(q.dtype),
@@ -718,12 +716,9 @@ def _dkv_kernel(
 
     @pl.when(store_cond)
     def _store():
-        # dk accumulated against the pre-scaled q (q * sm_scale * log2e);
-        # undo that factor once per kv block here.
-        unscale = 1.0 / (params.sm_scale * _LOG2E)
-        dk_ref[...] = (
-            (dk_scr[...] * unscale).reshape(1, bkv, d).astype(dk_ref.dtype)
-        )
+        # dk accumulated against the RAW q (the exp2-domain scaling lives
+        # inside _recompute_p's score matmul only) — no unscale needed.
+        dk_ref[...] = dk_scr[...].reshape(1, bkv, d).astype(dk_ref.dtype)
         dv_ref[...] = dv_scr[...].reshape(1, bkv, d).astype(dv_ref.dtype)
 
 
@@ -777,9 +772,11 @@ def _dq_kernel(
                 precision=_mm_precision(do.dtype),
             )
             di = _rowcol(di_ref, rows // bq, bq)
-            ds = p * (dp - di) * params.sm_scale
+            # sm_scale folded into the (bkv, d) k tile, not the ds tile
+            ds = p * (dp - di)
+            ks = (k.astype(jnp.float32) * params.sm_scale).astype(k.dtype)
             dq = jax.lax.dot(
-                ds.astype(k.dtype), k,
+                ds.astype(k.dtype), ks,
                 preferred_element_type=jnp.float32,
                 precision=_mm_precision(k.dtype),
             )
@@ -809,10 +806,12 @@ def _dq_kernel(
             precision=_mm_precision(do.dtype),
         )
         di = _rowcol(di_ref, rows // bq, bq)
-        ds = p * (dp - di) * params.sm_scale
+        # sm_scale folded into the (bkv, d) k tile (see single-pass note)
+        ds = p * (dp - di)
+        ks = (k.astype(jnp.float32) * params.sm_scale).astype(k.dtype)
         # dq += dattn @ k  (cf. …cpp:470)
         dq_scr[...] += jax.lax.dot(
-            ds.astype(k.dtype), k,
+            ds.astype(k.dtype), ks,
             preferred_element_type=jnp.float32,
             precision=_mm_precision(k.dtype),
         )
@@ -849,9 +848,8 @@ def _causal_cells_kvmajor(params: _Params, ni: int, nj: int, bq: int, bkv: int):
 
 
 def _bwd_dkv(params: _Params, q, k, v, do, lse, di, qseg=None, kvseg=None):
-    # q pre-scaled for the exp2-domain recompute; dk is unscaled at store
-    # (XLA CSEs this with _bwd_dq's identical scaling in the same graph).
-    q = (q.astype(jnp.float32) * (params.sm_scale * _LOG2E)).astype(q.dtype)
+    # q arrives raw; the exp2-domain scaling happens on the tile inside
+    # _recompute_p (no host-side pass over q, no dk unscale).
     bh, group, lq, d = q.shape
     lk = k.shape[1]
     bq, bkv = params.blocks.bwd_dkv()
@@ -955,8 +953,8 @@ def _bwd_dkv(params: _Params, q, k, v, do, lse, di, qseg=None, kvseg=None):
 
 
 def _bwd_dq(params: _Params, q, k, v, do, lse, di, qseg=None, kvseg=None):
-    # q pre-scaled for the exp2-domain recompute (dq = ds @ k is unaffected).
-    q = (q.astype(jnp.float32) * (params.sm_scale * _LOG2E)).astype(q.dtype)
+    # q arrives raw; the exp2-domain scaling happens on the tile inside
+    # _recompute_p (dq = ds @ k is unaffected either way).
     bh, group, lq, d = q.shape
     lk = k.shape[1]
     bq, bkv = params.blocks.bwd_dq()

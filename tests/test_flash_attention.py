@@ -401,3 +401,33 @@ def test_segment_ids_gqa_window():
         segment_ids=(segs, segs),
     )
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_single_pass_matches_multi_cell():
+    """nj==1 takes the no-scratch single-pass kernels (fwd, dq, dkv);
+    forcing multi-cell blocks on the same problem must agree exactly in
+    fp32 — out, lse, and all three grads."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(30), 1, 2, 512, 64, jnp.float32)
+    single = BlockSizes(512, 512, 512, 512, 512, 512)
+    multi = BlockSizes(256, 256, 256, 256, 256, 256)
+
+    o_s = flash_attention(q, k, v, block_sizes=single)
+    o_m = flash_attention(q, k, v, block_sizes=multi)
+    np.testing.assert_allclose(o_s, o_m, atol=1e-6, rtol=1e-6)
+
+    g = jax.random.normal(jax.random.PRNGKey(31), o_s.shape, jnp.float32)
+
+    def loss(bs):
+        return lambda q, k, v: jnp.sum(
+            flash_attention(q, k, v, block_sizes=bs) * g
+        )
+
+    gs = jax.grad(loss(single), argnums=(0, 1, 2))(q, k, v)
+    gm = jax.grad(loss(multi), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gs, gm, "qkv"):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5, err_msg=f"d{name}")
+
+    # lse path too (ring attention depends on it)
+    o1, l1 = flash_attention_with_lse(q, k, v, block_sizes=single)
+    o2, l2 = flash_attention_with_lse(q, k, v, block_sizes=multi)
+    np.testing.assert_allclose(l1, l2, atol=1e-6, rtol=1e-6)
