@@ -71,6 +71,14 @@ class _Params:
     # Packed-sequence (segment-id) masking: kernels receive per-token segment
     # ids and tokens only attend within their segment.
     segmented: bool = False
+    # Ones-column l: V is host-padded with a column of ones (+7 zeros to the
+    # next 8-lane boundary) so the softmax row sum l accumulates as column d
+    # of the PV matmul — on the MXU's otherwise-idle output lanes at d<=120
+    # — instead of a VPU row reduction; the l scratch disappears (the alpha
+    # correction applies to the whole accumulator, l included).  Numerics:
+    # for bf16 inputs l sums the SAME bf16-rounded p the numerator uses
+    # (self-consistent; within the bf16 parity tier).
+    ones_l: bool = False
 
 
 def _round_up(x: int, m: int) -> int:
@@ -347,9 +355,14 @@ def _fwd_kernel(
                 preferred_element_type=jnp.float32,
                 precision=_mm_precision(v_ref.dtype),
             )
-            l = jnp.sum(p, axis=-1, keepdims=True)
+            if params.ones_l:
+                l = acc[:, d:d + 1]  # the ones column of the padded V
+            else:
+                l = jnp.sum(p, axis=-1, keepdims=True)
             l_safe = jnp.where(l == 0.0, 1.0, l)
-            o_ref[...] = (acc / l_safe).reshape(1, group, bq, d).astype(o_ref.dtype)
+            o_ref[...] = (
+                (acc[:, :d] / l_safe).reshape(1, group, bq, d).astype(o_ref.dtype)
+            )
             if with_lse:
                 lse = (m + jnp.log2(l_safe)) * _LN2
                 lse_ref[...] = lse.reshape(1, group, bq)
@@ -360,12 +373,17 @@ def _fwd_kernel(
             _compact_dispatch(params, i, j, bq, bkv, nj, kv_padded, single_body)
         return
 
-    m_scr, l_scr, acc_scr = scrs
+    if params.ones_l:
+        m_scr, acc_scr = scrs
+        l_scr = None
+    else:
+        m_scr, l_scr, acc_scr = scrs
 
     @pl.when(init_cond)
     def _init():
         m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
-        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        if l_scr is not None:
+            l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
         acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
     def body(causal_mask: bool, kv_mask: bool):
@@ -378,15 +396,16 @@ def _fwd_kernel(
         s = score_tile(causal_mask, kv_mask)
 
         m_prev = m_scr[...]  # (rows, 128), lane-replicated
-        l_prev = l_scr[...]
         m_curr = jnp.max(s, axis=-1, keepdims=True)  # (rows, 1)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp2(m_prev - m_next)  # correction c = exp(m_i - m_new)
         p = jnp.exp2(s - m_next[:, 0:1])
-        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = m_next
-        l_scr[...] = l_next
-        # o_i = c * o_i + attn_ij @ v_j (unnormalized; one final divide)
+        if l_scr is not None:
+            l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=-1, keepdims=True)
+        # o_i = c * o_i + attn_ij @ v_j (unnormalized; one final divide).
+        # With ones_l the padded V's ones column makes acc[:, d] carry l
+        # through the same alpha corrections — no separate l update.
         acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + jax.lax.dot(
             p.astype(v_ref.dtype), v_ref[0],
             preferred_element_type=jnp.float32,
@@ -400,10 +419,13 @@ def _fwd_kernel(
 
     @pl.when(store_cond)
     def _store():
-        l = l_scr[:, 0:1]
+        if params.ones_l:
+            l = acc_scr[:, d:d + 1]  # the ones column of the padded V
+        else:
+            l = l_scr[:, 0:1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[...] = (
-            (acc_scr[...] / l_safe).reshape(1, group, bq, d).astype(o_ref.dtype)
+            (acc_scr[:, :d] / l_safe).reshape(1, group, bq, d).astype(o_ref.dtype)
         )
         if with_lse:
             # lse = m + log(l), converted from the exp2 domain (cf. …cpp:316)
@@ -449,6 +471,19 @@ def _fwd(params: _Params, q, k, v, qseg=None, kvseg=None, need_lse=True):
     # running stats are pure overhead — the kernel takes a no-scratch
     # direct-softmax path (+29% measured at the GPT-2 train shape).
     single_pass = nj == 1
+    dv = d
+    if params.ones_l:
+        # Pad V with [1, 0*7]: column d of the PV matmul then accumulates
+        # the softmax row sum l on otherwise-idle MXU output lanes.
+        dv = d + 8
+        v = jnp.concatenate(
+            [
+                v,
+                jnp.ones((bh, lk, 1), v.dtype),
+                jnp.zeros((bh, lk, 7), v.dtype),
+            ],
+            axis=-1,
+        )
     out_shape = [
         jax.ShapeDtypeStruct((bh, group, lq, d), q.dtype),
         jax.ShapeDtypeStruct((bh, group, lq), jnp.float32),
@@ -460,8 +495,12 @@ def _fwd(params: _Params, q, k, v, qseg=None, kvseg=None, need_lse=True):
         if single_pass
         else [
             pltpu.VMEM((group * bq, 128), jnp.float32),
-            pltpu.VMEM((group * bq, 128), jnp.float32),
-            pltpu.VMEM((group * bq, d), jnp.float32),
+            *(
+                []
+                if params.ones_l
+                else [pltpu.VMEM((group * bq, 128), jnp.float32)]
+            ),
+            pltpu.VMEM((group * bq, dv), jnp.float32),
         ]
     )
     seg_in = (qseg, kvseg) if params.segmented else ()
@@ -491,7 +530,7 @@ def _fwd(params: _Params, q, k, v, qseg=None, kvseg=None, need_lse=True):
                         (1, group, bq, d), lambda b, c, it, jt: (b, 0, it[c], 0)
                     ),
                     pl.BlockSpec((1, bkv, d), lambda b, c, it, jt: (b, jt[c], 0)),
-                    pl.BlockSpec((1, bkv, d), lambda b, c, it, jt: (b, jt[c], 0)),
+                    pl.BlockSpec((1, bkv, dv), lambda b, c, it, jt: (b, jt[c], 0)),
                     *seg_specs,
                 ],
                 out_specs=[
@@ -530,7 +569,7 @@ def _fwd(params: _Params, q, k, v, qseg=None, kvseg=None, need_lse=True):
         in_specs=[
             pl.BlockSpec((1, group, bq, d), lambda b, i, j: (b, 0, i, 0)),
             pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bkv, dv), lambda b, i, j: (b, j, 0)),
             *seg_specs,
         ],
         out_specs=[
@@ -1153,8 +1192,13 @@ def flash_attention(
     block_sizes: BlockSizes | None = None,
     num_chunks_q: int | None = None,
     num_chunks_kv: int | None = None,
+    ones_l: bool = False,
 ) -> jax.Array:
     """Memory-efficient (flash) attention on TPU.
+
+    ones_l (experimental): compute the softmax row sum on the MXU via a
+    ones column appended to V (see _Params.ones_l) instead of a VPU
+    reduction.  Self-consistent numerics within the dtype parity tier.
 
     Args:
       q: [batch, num_q_heads, q_len, head_dim].
@@ -1192,6 +1236,7 @@ def flash_attention(
             causal=causal, sm_scale=sm_scale, window=window,
             segment_ids=segment_ids, block_sizes=block_sizes,
             num_chunks_q=num_chunks_q, num_chunks_kv=num_chunks_kv,
+            ones_l=ones_l,
         )
         return out.astype(jnp.float16)
     b, hq, lq, d = q.shape
@@ -1269,6 +1314,7 @@ def flash_attention(
         blocks=block_sizes,
         window=window,
         segmented=segment_ids is not None,
+        ones_l=ones_l,
     )
     # Blocks cover the full head dim, so any array-equal lane width is
     # legal on TPU; padding to 128 would double HBM traffic at D=64.

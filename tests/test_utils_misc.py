@@ -37,3 +37,24 @@ def test_metrics_wandb_graceful_without_wandb(tmp_path):
     m = MetricsLogger(str(tmp_path), wandb_log=True)
     m.log({"x": 1})
     m.close()
+
+
+def test_measure_chain_timer_and_ab():
+    """chain_timer/ab_compare protocol: positive per-call times, all
+    variants present, the recheck row exists (drift-band discipline)."""
+    import jax.numpy as jnp
+    from flash_attention_tpu.utils.measure import ab_compare, chain_timer
+
+    x = jnp.ones((8, 128), jnp.float32)
+
+    dt = chain_timer(lambda c: c * 1.0001, x, depth=8, iters=2)
+    assert dt > 0
+
+    res = ab_compare(
+        {"a": lambda c: c * 1.0001, "b": lambda c: c + 1e-4},
+        x,
+        depth=8,
+        iters=2,
+    )
+    assert set(res) == {"a", "b", "a+recheck"}
+    assert all(v > 0 for v in res.values())
