@@ -699,6 +699,61 @@ def bench_train(batch=8, block=1024, steps=8) -> dict:
     }
 
 
+def bench_train_llama(batch=8, block=1024, steps=8) -> dict:
+    """Training throughput on a D=128-head llama-class model of the same
+    scale as GPT-2 124M — the MFU control experiment: GPT-2's D=64 heads
+    run attention at half MXU lane width (its measured structural floor
+    is 47.8% of nominal, BASELINE.md round 4); a D=128 architecture
+    shows what the SAME training stack achieves when the workload
+    permits.  Reference workload analog: demo/train.py:32-67."""
+    from flash_attention_tpu.models import llama
+    from flash_attention_tpu.training import make_optimizer, make_train_step
+
+    cfg = llama.LlamaConfig(
+        vocab_size=50304,
+        n_layer=12,
+        n_head=6,       # n_embd/n_head = 128: full MXU lane width
+        n_kv_head=6,
+        n_embd=768,
+        intermediate=3072,
+        max_seq=block,
+    )
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    opt = make_optimizer(3e-4, warmup_iters=10, lr_decay_iters=1000)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (batch, block), 0, cfg.vocab_size)
+    rng = jax.random.PRNGKey(2)
+
+    @jax.jit
+    def chained(params, opt_state, idx, rng):
+        def body(carry, _):
+            p, s = carry
+            p, s, loss = step(p, s, idx, idx, rng)
+            return (p, s), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=steps
+        )
+        return params, opt_state, losses[-1]
+
+    p, o, loss = chained(params, opt_state, idx, rng)
+    float(loss)
+    t0 = time.perf_counter()
+    p, o, loss = chained(params, opt_state, idx, rng)
+    float(loss)
+    dt = (time.perf_counter() - t0) / steps
+    tok_s = batch * block / dt
+    mfu = 6 * n_params * tok_s / (V5E_PEAK_BF16_TFLOPS * 1e12)
+    return {
+        "config": f"train llama-class {n_params/1e6:.0f}M D128 b{batch} block{block}",
+        "ms": dt * 1e3,
+        "tokens_per_s": tok_s,
+        "mfu_nominal": mfu,
+    }
+
+
 HEADLINE_METRIC = "attention_fwd_tflops_per_chip"
 
 
@@ -812,6 +867,13 @@ def worker(args) -> int:
         if r:
             print(
                 f"{r['config']:55s} {r['ms']:8.1f} ms/step {r['tokens_per_s']:7.0f} tok/s",
+                file=sys.stderr,
+            )
+        r = _row(bench_train_llama)
+        if r:
+            print(
+                f"{r['config']:55s} {r['ms']:8.1f} ms/step {r['tokens_per_s']:7.0f} tok/s "
+                f"({r['mfu_nominal']*100:.1f}% nominal MFU)",
                 file=sys.stderr,
             )
     if args.llama:

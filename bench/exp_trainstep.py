@@ -1,4 +1,14 @@
-"""Round-4 experiment: GPT-2 124M train-step decomposition by SUBSTITUTION.
+"""DEPRECATED METHOD — kept as the cautionary artifact (DESIGN.md §8).
+
+Substitution-based decomposition through this tunnel is INADMISSIBLE:
+its confident-looking deltas (clip 5.5 ms, gelu 4.3, layernorm 3.9)
+were contradicted by controlled same-session interleaved A/Bs (fused
+clip+AdamW: NEUTRAL; transposes: FREE; gelu vjp: NEUTRAL; LN one-pass:
+-0.35 ms, the only survivor).  Each variant here compiles and runs in a
+different tunnel phase, and session drift is several percent of the
+step.  Use flash_attention_tpu.utils.measure.ab_compare instead.
+
+Round-4 experiment: GPT-2 124M train-step decomposition by SUBSTITUTION.
 
 The round-3 decomposition (fwd 20.9 / bwd 43.1 / AdamW 4.3 ms) split by
 phase; this splits by COMPONENT, by timing the full step with one piece

@@ -152,16 +152,27 @@ def forward(params: Params, idx: jax.Array, cfg: LlamaConfig) -> jax.Array:
         x = x + _mm(y, blk["wo"])
         x = x + _mlp(_rms_norm(x, blk["mlp_norm"], cfg.rms_eps), blk)
     x = _rms_norm(x, params["norm_f"], cfg.rms_eps)
-    return _mm(x, params["lm_head"]).astype(jnp.float32)
+    # Logits stay in the model dtype: the loss casts to fp32 only inside
+    # its reductions, so bf16 training keeps a bf16 d_logits and the
+    # lm-head backward matmuls run as native bf16 MXU passes (an fp32
+    # cast here forced fp32 passes — measured ~15% of the whole train
+    # step on the GPT family, models/gpt.py:198-203; argmax decode is
+    # unaffected: widening bf16 to fp32 cannot reorder values).
+    return _mm(x, params["lm_head"])
 
 
 def loss_fn(params, idx, targets, cfg: LlamaConfig) -> jax.Array:
     """Mean next-token cross entropy, computed as logsumexp - picked logit
-    (never materializes the full log-prob tensor; cf. gpt.loss_fn)."""
+    (never materializes the full log-prob tensor; cf. gpt.loss_fn).
+    Max-stabilized with the fp32 cast INSIDE the reductions (fuses into
+    the exp/sum pipeline; d_logits stays in the model dtype)."""
     logits = forward(params, idx, cfg)
-    lse = jax.nn.logsumexp(logits, axis=-1)
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    lse = m[..., 0].astype(jnp.float32) + jnp.log(
+        jnp.sum(jnp.exp((logits - m).astype(jnp.float32)), axis=-1)
+    )
     picked = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
-    return jnp.mean(lse - picked)
+    return jnp.mean(lse - picked.astype(jnp.float32))
 
 
 # ----------------------------------------------------------------- inference
