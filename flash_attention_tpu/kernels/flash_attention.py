@@ -294,7 +294,6 @@ def _fwd_kernel(
     """
     nseg = 2 if params.segmented else 0
     nout = 2 if with_lse else 1
-    nscr = 0 if single_pass else 3
     if ncells is None:
         q_ref, k_ref, v_ref = refs[:3]
         qseg_ref, kvseg_ref = refs[3:5] if nseg else (None, None)

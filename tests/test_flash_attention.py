@@ -459,3 +459,18 @@ def test_autotune_sweeps_and_caches(tmp_path, monkeypatch):
     ref = _ref(q, k, v)
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
     at.clear_cache()
+
+
+def test_ones_l_option_parity():
+    """flash_attention(ones_l=True) — the softmax row sum via a ones
+    column of V on the MXU — must match the default across single-pass,
+    multi-cell, and kv-padded geometries (fp32-exact at fp32 inputs)."""
+    for b, h, l, d, blocks in [
+        (1, 2, 512, 64, None),                      # single-pass
+        (1, 2, 1024, 64, BlockSizes(512, 256)),     # multi-cell accumulate
+        (1, 2, 384, 128, None),                     # kv-padded tail
+    ]:
+        q, k, v = _rand_qkv(jax.random.PRNGKey(50), b, h, l, d, jnp.float32)
+        a = flash_attention(q, k, v, block_sizes=blocks)
+        o = flash_attention(q, k, v, block_sizes=blocks, ones_l=True)
+        np.testing.assert_allclose(o, a, atol=1e-5, rtol=1e-5)
