@@ -19,6 +19,13 @@ Accounting per bh row (full-square matmul = 1 unit):
   fused at 1024^2:    5 matmuls x 1.0 = 5.0 units, exp once, no scratch
 
 Run: python bench/exp_bwdfused.py
+
+NOTE (post round 4): utils/measure.py (chain_timer / ab_compare) is the
+canonical timing protocol — sync-per-iteration best-of-N with an
+interleaved drift band.  The local harness below predates it (it queues
+iterations and syncs once, a mean) and is kept verbatim because the
+recorded CONCLUSION numbers were produced with it; use utils.measure
+for NEW measurements.
 """
 
 from __future__ import annotations

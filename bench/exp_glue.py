@@ -12,6 +12,13 @@ respects — substitution deltas from different sessions are noise):
   base2     : baseline repeated last to bound session drift
 
 Run: python bench/exp_glue.py
+
+NOTE (post round 4): utils/measure.py (chain_timer / ab_compare) is the
+canonical timing protocol — sync-per-iteration best-of-N with an
+interleaved drift band.  The local harness below predates it (it queues
+iterations and syncs once, a mean) and is kept verbatim because the
+recorded CONCLUSION numbers were produced with it; use utils.measure
+for NEW measurements.
 """
 
 from __future__ import annotations

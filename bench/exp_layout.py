@@ -22,6 +22,13 @@ Measures (depth-scan discipline):
         has exactly one kv cell (the train-shape geometry)
 
 Run: python bench/exp_layout.py [--shape 8,12,1024,64]
+
+NOTE (post round 4): utils/measure.py (chain_timer / ab_compare) is the
+canonical timing protocol — sync-per-iteration best-of-N with an
+interleaved drift band.  The local harness below predates it (it queues
+iterations and syncs once, a mean) and is kept verbatim because the
+recorded CONCLUSION numbers were produced with it; use utils.measure
+for NEW measurements.
 """
 
 from __future__ import annotations

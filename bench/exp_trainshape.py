@@ -14,6 +14,13 @@ Measures, at depth-64 chain discipline (DESIGN.md section 6):
   * fwd+bwd sweep over forward blocks (bwd blocks capped at 512 anyway)
 
 Run: python bench/exp_trainshape.py [--depth 64]
+
+NOTE (post round 4): utils/measure.py (chain_timer / ab_compare) is the
+canonical timing protocol — sync-per-iteration best-of-N with an
+interleaved drift band.  The local harness below predates it (it queues
+iterations and syncs once, a mean) and is kept verbatim because the
+recorded CONCLUSION numbers were produced with it; use utils.measure
+for NEW measurements.
 """
 
 from __future__ import annotations

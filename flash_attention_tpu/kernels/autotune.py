@@ -12,7 +12,10 @@ per configuration per chip generation.
 
 Usage:
     from flash_attention_tpu.kernels.autotune import tuned_blocks
-    bs = tuned_blocks(q.shape, k.shape[2], q.dtype, causal=True)
+    bs = tuned_blocks(q.shape, k.shape[2], q.dtype, causal=True,
+                      num_kv_heads=k.shape[1])  # REQUIRED for GQA —
+    # the cache key includes the GQA group; omitting it assumes MHA and
+    # a GQA model's tuned entry would silently never be found
     flash_attention(q, k, v, block_sizes=bs)
 
 or end-to-end: ``autotune(q, k, v, causal=True)`` returns the best
@@ -62,10 +65,22 @@ def _load() -> dict[str, Any]:
 
 
 def _save() -> None:
+    """Merge-then-rename: re-read the file and overlay our entries so a
+    concurrent process's tunings survive, and write via a temp file +
+    os.replace so a reader never sees a torn file.  Last-writer-wins per
+    KEY, not per file."""
     p = _cache_path()
     try:
         p.parent.mkdir(parents=True, exist_ok=True)
-        p.write_text(json.dumps(_MEM, indent=1, sort_keys=True))
+        merged: dict[str, Any] = {}
+        try:
+            merged = json.loads(p.read_text())
+        except (OSError, ValueError):
+            pass
+        merged.update(_MEM or {})
+        tmp = p.with_suffix(f".tmp.{os.getpid()}")
+        tmp.write_text(json.dumps(merged, indent=1, sort_keys=True))
+        os.replace(tmp, p)
     except OSError:
         pass  # cache is an optimization; never fail the caller
 
@@ -184,12 +199,25 @@ def tuned_blocks(
 ) -> BlockSizes | None:
     """Cache-only lookup: the tuned BlockSizes for this configuration on
     this device kind, or None if never autotuned (callers then fall back
-    to default_blocks via flash_attention's normal path)."""
+    to default_blocks via flash_attention's normal path).
+
+    num_kv_heads MUST be passed for GQA models (it is part of the cache
+    key, matching what autotune() derived from the real k tensor);
+    None means MHA.  If the exact group misses, groups LARGER than the
+    requested one are probed as a fallback: an entry tuned at a larger
+    group chose its q block under a tighter rows = group*bq VMEM budget,
+    so it is safe (if conservative) at a smaller group — the reverse is
+    not (an MHA-tuned bq applied to a large GQA group can blow VMEM),
+    so smaller groups are never probed."""
     b, h, lq, d = q_shape
     group = h // (num_kv_heads or h)
-    key = _key(b, h, lq, kv_len, d, dtype, causal, group)
+    groups = [group] + [
+        g for g in range(group + 1, h + 1) if h % g == 0
+    ]
     with _LOCK:
-        hit = _load().get(key)
-    if hit is None:
-        return None
-    return BlockSizes(block_q=hit["block_q"], block_kv=hit["block_kv"])
+        cache = _load()
+        for g in groups:
+            hit = cache.get(_key(b, h, lq, kv_len, d, dtype, causal, g))
+            if hit is not None:
+                return BlockSizes(block_q=hit["block_q"], block_kv=hit["block_kv"])
+    return None

@@ -46,6 +46,13 @@ class GPTConfig:
     # activations to O(1) + recompute — the standard TPU trade of FLOPs for
     # HBM, enabling larger batch x block than fit otherwise.
     remat: bool = False
+    # LayerNorm variance via E[x^2] - mu^2 (one reduction pass; flax's
+    # use_fast_variance default, measured -0.35 ms/step here).  The
+    # one-pass form loses precision when a row's |mean| >> std
+    # (cancellation: relative variance error ~ eps * mu^2/var); typical
+    # LN inputs have mu^2/var = O(1) where it is exact to ~1e-7, but set
+    # False to restore jnp.var's two-pass form for ill-conditioned rows.
+    fast_ln: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -105,15 +112,19 @@ def num_params(params: Params) -> int:
     return sum(x.size for x in jax.tree.leaves(params))
 
 
-def _layer_norm(x, p, eps=1e-5):
-    # Variance via E[x^2] - mu^2: ONE reduction pass instead of
-    # mean-then-squared-deviation's two (jnp.var).  Safe in fp32 at LN
-    # input magnitudes; the max(., 0) guards the fp cancellation edge.
-    # Measured on v5e (GPT-2 124M step, same-session A/B): -0.35 ms/step.
+def _layer_norm(x, p, eps=1e-5, fast=True):
+    # fast=True: variance via E[x^2] - mu^2 — ONE reduction pass instead
+    # of mean-then-squared-deviation's two (flax's use_fast_variance
+    # default; measured -0.35 ms/step on the 124M train step).  The
+    # max(., 0) guards the cancellation edge; see GPTConfig.fast_ln for
+    # the precision trade and the two-pass escape hatch.
     x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
-    ex2 = jnp.mean(x32 * x32, axis=-1, keepdims=True)
-    var = jnp.maximum(ex2 - mu * mu, 0.0)
+    if fast:
+        ex2 = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        var = jnp.maximum(ex2 - mu * mu, 0.0)
+    else:
+        var = jnp.var(x32, axis=-1, keepdims=True)
     y = (x32 - mu) * jax.lax.rsqrt(var + eps)
     return (y * p["g"] + p["b"]).astype(x.dtype)
 
@@ -188,10 +199,12 @@ def forward(
         x = _dropout(x, cfg.dropout, rngs[0], deterministic)
     def block_fn(x, blk, rng_a, rng_m):
         x = x + _attention(
-            _layer_norm(x, blk["ln1"]), blk["attn"], cfg, rng_a, deterministic
+            _layer_norm(x, blk["ln1"], fast=cfg.fast_ln),
+            blk["attn"], cfg, rng_a, deterministic
         )
         return x + _mlp(
-            _layer_norm(x, blk["ln2"]), blk["mlp"], cfg, rng_m, deterministic
+            _layer_norm(x, blk["ln2"], fast=cfg.fast_ln),
+            blk["mlp"], cfg, rng_m, deterministic
         )
 
     if cfg.remat:
@@ -199,7 +212,7 @@ def forward(
     for li, blk in enumerate(params["blocks"]):
         with jax.named_scope(f"block{li}"):
             x = block_fn(x, blk, rngs[1 + 2 * li], rngs[2 + 2 * li])
-    x = _layer_norm(x, params["lnf"])
+    x = _layer_norm(x, params["lnf"], fast=cfg.fast_ln)
     # Weight-tied lm head.  Logits stay in the model dtype: the loss casts
     # to fp32 only inside its reductions, so bf16 training keeps a bf16
     # d_logits and the two 633-GFLOP lm-head backward matmuls run in native

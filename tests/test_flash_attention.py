@@ -468,7 +468,11 @@ def test_ones_l_option_parity():
     for b, h, l, d, blocks in [
         (1, 2, 512, 64, None),                      # single-pass
         (1, 2, 1024, 64, BlockSizes(512, 256)),     # multi-cell accumulate
-        (1, 2, 384, 128, None),                     # kv-padded tail
+        # kv genuinely padded (lkp=512 > lk=384): the ones column is 1
+        # even in pad rows — correct only because masked p underflows to
+        # exactly 0.0 there, which this case pins
+        (1, 2, 384, 128, BlockSizes(512, 512)),
+        (1, 2, 384, 128, None),                     # unpadded d=128
     ]:
         q, k, v = _rand_qkv(jax.random.PRNGKey(50), b, h, l, d, jnp.float32)
         a = flash_attention(q, k, v, block_sizes=blocks)
