@@ -658,13 +658,18 @@ def bench_llama(slots=4, ctx=1024, max_len=2048, steps=16, bits=8) -> dict:
     }
 
 
-def bench_train(batch=8, block=1024, steps=8) -> dict:
+def bench_train(batch=8, block=1024, steps=8, n_head=None) -> dict:
     """GPT-2 124M training step throughput (tokens/s/chip), bf16 activations,
-    the reference demo's workload scaled to its full block size."""
+    the reference demo's workload scaled to its full block size.
+
+    n_head overrides the head count at the same n_embd (and param count):
+    n_head=6 gives head_dim 128 — the MFU control showing the canonical
+    h12 (D=64) config's ~46% is bound by half-lane MXU heads (53.4%
+    measured at D=128; BASELINE.md round 4)."""
     from flash_attention_tpu.models import gpt
     from flash_attention_tpu.training import make_optimizer, make_train_step
 
-    cfg = gpt.GPT2_124M
+    cfg = gpt.GPT2_124M if n_head is None else gpt.GPTConfig(n_head=n_head)
     params = gpt.init_params(jax.random.PRNGKey(0), cfg)
     opt = make_optimizer(3e-4, warmup_iters=10, lr_decay_iters=1000)
     opt_state = opt.init(params)
@@ -693,7 +698,10 @@ def bench_train(batch=8, block=1024, steps=8) -> dict:
     float(loss)
     dt = (time.perf_counter() - t0) / steps
     return {
-        "config": f"train GPT2-124M b{batch} block{block} bf16",
+        "config": (
+            f"train GPT2-124M h{cfg.n_head} D{cfg.head_dim} "
+            f"b{batch} block{block} bf16"
+        ),
         "ms": dt * 1e3,
         "tokens_per_s": batch * block / dt,
     }
