@@ -88,6 +88,8 @@ class InferenceEngine:
         draft_params=None,
         draft_cfg=None,
         spec_k: int = 4,
+        spec_adaptive: bool = False,
+        spec_min_accept: float | None = None,
         pipeline_scans: bool = True,
     ):
         """cfg: a GPTConfig (default architecture) or any config whose
@@ -122,7 +124,20 @@ class InferenceEngine:
         through the regular scan — a mixed batch costs two dispatches per
         round but one sampled request no longer disables speculation for
         everyone.  Greedy output is identical either way (fp32-exact; see
-        speculative.py)."""
+        speculative.py).
+
+        spec_adaptive: measure acceptance and RETREAT when speculation is
+        losing — an EMA of tokens-per-spec-iteration is kept across
+        rounds, and once it falls below `spec_min_accept` (default
+        0.6*(spec_k+1), the measured GPT-2-scale crossover where a spec
+        iteration stops beating a regular scan step) the engine routes
+        everything through the regular scan for the rest of its life.
+        Greedy outputs are unchanged either way (speculation is exact),
+        so the guard turns a badly-matched draft from a throughput LOSS
+        (measured 1,807 vs 4,623 tok/s with a random-weights pair) into
+        a brief trial.  Off by default: the mechanism tests exercise
+        low-acceptance drafts deliberately; production serving should
+        turn it on."""
         self.params = params
         self.cfg = cfg
         self.slots = slots
@@ -198,6 +213,15 @@ class InferenceEngine:
         self.draft_params = draft_params
         self.draft_cfg = draft_cfg
         self.spec_k = spec_k
+        self.spec_adaptive = spec_adaptive
+        self.spec_min_accept = (
+            spec_min_accept if spec_min_accept is not None
+            else 0.6 * (spec_k + 1)
+        )
+        # Optimistic start (= perfect acceptance): the draft gets a fair
+        # trial before the EMA can cross the retreat threshold.
+        self._spec_accept_ema = float(spec_k + 1)
+        self._spec_enabled = True
         if draft_params is not None:
             if prefill_fn is not None or decode_fn is not None:
                 raise ValueError(
@@ -499,6 +523,19 @@ class InferenceEngine:
         counts = np.asarray(counts_dev)  # [iters, S]
         self.stats["decode_steps"] += int(counts.shape[0]) * (self.spec_k + 1)
         self.stats["spec_rounds"] = self.stats.get("spec_rounds", 0) + 1
+        if self.spec_adaptive:
+            got = counts[:, list(slots)]
+            if got.size:
+                self._spec_accept_ema = (
+                    0.7 * self._spec_accept_ema + 0.3 * float(got.mean())
+                )
+            self.stats["spec_accept_ema"] = round(self._spec_accept_ema, 3)
+            if self._spec_accept_ema < self.spec_min_accept:
+                # Acceptance too low for a spec iteration to beat a plain
+                # scan step: retreat to the regular scan permanently
+                # (outputs are unchanged — speculation is greedy-exact).
+                self._spec_enabled = False
+                self.stats["spec_disabled_at_round"] = self.stats["spec_rounds"]
         done: list[int] = []
         next_toks = np.array(self._next_tokens_dev)  # writable copy
         for slot in slots:
@@ -633,7 +670,7 @@ class InferenceEngine:
         host-side and the slot is retired — a few wasted device steps buy
         the removal of the ~ms-scale per-token dispatch latency.
         """
-        if self.draft_params is not None:
+        if self.draft_params is not None and self._spec_enabled:
             # Per-slot routing: greedy slots speculate, sampled slots take
             # the regular scan — one sampled request no longer disables
             # speculation for the whole batch (two dispatches per round

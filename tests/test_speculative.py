@@ -230,3 +230,51 @@ def test_engine_draft_with_chunked_prefill(params):
         draft_params=dparams, draft_cfg=DRAFT, spec_k=3, chunk_prefill=8
     )
     assert plain == spec_chunked
+
+
+def test_engine_spec_adaptive_retreats_from_bad_draft(params):
+    """spec_adaptive=True: when the acceptance EMA crosses the retreat
+    threshold the engine routes the rest through the regular scan — with
+    outputs IDENTICAL to the plain engine (speculation is greedy-exact,
+    so the guard changes throughput only).  The threshold is pinned just
+    below perfect acceptance to make the retreat deterministic: the toy
+    random pair happens to accept ~3/4 (tiny models loop), so its
+    quality can't be relied on to trip the default threshold."""
+    from flash_attention_tpu.inference import InferenceEngine
+
+    dparams = gpt.init_params(jax.random.PRNGKey(9), DRAFT)
+    prompts = [[3, 1, 4, 1, 5], [9, 2, 6]]
+
+    def run(**kw):
+        eng = InferenceEngine(params, CFG, slots=2, max_len=256, scan_steps=8, **kw)
+        for p in prompts:
+            eng.submit(p, max_new_tokens=24)
+        out = {r.uid: r.output for r in eng.run()}
+        return out, eng.stats
+
+    plain, _ = run()
+    spec, stats = run(
+        draft_params=dparams, draft_cfg=DRAFT, spec_k=3, spec_adaptive=True,
+        spec_min_accept=3.9,
+    )
+    assert plain == spec, (plain, spec)
+    assert "spec_disabled_at_round" in stats, stats
+    # after the retreat, rounds stop accumulating
+    assert stats["spec_rounds"] == stats["spec_disabled_at_round"], stats
+
+
+def test_engine_spec_adaptive_keeps_good_draft(params):
+    """A self-draft accepts everything, so the adaptive guard never
+    fires and speculation runs for the whole workload."""
+    from flash_attention_tpu.inference import InferenceEngine
+
+    eng = InferenceEngine(
+        params, CFG, slots=2, max_len=256, scan_steps=8,
+        draft_params=params, draft_cfg=CFG, spec_k=3, spec_adaptive=True,
+    )
+    eng.submit([3, 1, 4, 1, 5], max_new_tokens=24)
+    done = eng.run()
+    assert len(done) == 1 and len(done[0].output) == 24
+    assert "spec_disabled_at_round" not in eng.stats, eng.stats
+    assert eng.stats.get("spec_rounds", 0) >= 2
+    assert eng.stats["spec_accept_ema"] > 3.0, eng.stats
