@@ -289,8 +289,10 @@ def _fwd_kernel(
     kv cell — the GPT-2 train-shape geometry): direct softmax with NO
     scratch at all.  The running-stats machinery (m/l/acc init, the
     read-modify-write of the fp32 accumulator, the alpha correction) is
-    pure overhead when a row is one cell; dropping it measures +29% at
-    b8 h12 L1024 D64 (bench/exp_layout.py v3).
+    pure overhead when a row is one cell; dropping it measures ~8% on
+    the shipped kernel at b8 h12 L1024 D64, ratio-anchored against a
+    fixed multi-cell tiling (the +29% in bench/exp_layout.py v3 belonged
+    to a variant with two extra simplifications — BASELINE.md round 4).
     """
     nseg = 2 if params.segmented else 0
     nout = 2 if with_lse else 1
@@ -468,7 +470,7 @@ def _fwd(params: _Params, q, k, v, qseg=None, kvseg=None, need_lse=True):
     kv_padded = lk != params.kv_len
     # nj == 1: every q row sees exactly one kv cell, so the online-softmax
     # running stats are pure overhead — the kernel takes a no-scratch
-    # direct-softmax path (+29% measured at the GPT-2 train shape).
+    # direct-softmax path (~8% measured at the GPT-2 train shape).
     single_pass = nj == 1
     dv = d
     if params.ones_l:
