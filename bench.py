@@ -573,6 +573,97 @@ def bench_speculative_trained(
     }
 
 
+def bench_spec_adaptive(slots=8, n_requests=16, prompt_len=200,
+                        max_new_tokens=64, scan_steps=16, k=4) -> dict:
+    """Acceptance-adaptive speculation on a MISMATCHED (random-weights)
+    target/draft pair, measured end-to-end through the engine.  Three
+    like-for-like capacity runs: draft-free baseline, spec with the
+    adaptive guard OFF (the permanent loss), spec with `spec_adaptive=True`
+    (the EMA crosses after a few rounds, the engine retreats to the regular
+    scan, and throughput recovers toward baseline — minus the pipelining
+    the draft-attached engine forgoes).  Greedy outputs are identical in
+    all three configs (speculation is exact), so this row isolates the
+    guard's throughput effect."""
+    import dataclasses
+
+    import numpy as np
+
+    from flash_attention_tpu.inference.engine import InferenceEngine
+    from flash_attention_tpu.models import gpt
+
+    cfg = gpt.GPT2_124M
+    dcfg = dataclasses.replace(cfg, n_layer=2, n_embd=256, n_head=4)
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    dparams = gpt.init_params(jax.random.PRNGKey(1), dcfg)
+    rng = np.random.default_rng(0)
+    prompts = [
+        rng.integers(0, cfg.vocab_size, prompt_len).tolist()
+        for _ in range(n_requests)
+    ]
+
+    def capacity(**kw):
+        eng = InferenceEngine(
+            params, cfg, slots=slots, max_len=512, scan_steps=scan_steps, **kw
+        )
+        # Warm every compiled path the measured run can hit.  Spec rounds
+        # emit ragged token counts, so slots desynchronize: retirements
+        # come in small groups (admission batch sizes 1..slots) and the
+        # last survivors trigger SHORT scans (power-of-two budget caps) —
+        # none of which the lockstep draft-free run ever hits.  A first
+        # measurement without this warmup charged ~15 s of mid-run axon
+        # compiles to the adaptive config only.
+        def warm_all_paths():
+            m = 1
+            while m <= slots:  # prefill_many batch sizes + full scans
+                for _ in range(m + (1 if m < slots else 2)):
+                    eng.submit(prompts[0], max_new_tokens=scan_steps)
+                eng.run()
+                m *= 2
+            b = scan_steps
+            while b > 1:  # short scans: steps b/2 via budget b/2+1
+                eng.submit(prompts[0], max_new_tokens=b // 2 + 1)
+                eng.run()
+                b //= 2
+
+        warm_all_paths()
+        if kw.get("spec_adaptive"):
+            # the regular-scan paths the adaptive retreat falls back to
+            # (the always-spec engine never touches them: all-greedy
+            # traffic routes through the fixed-shape spec scan)
+            eng._spec_enabled = False
+            warm_all_paths()
+        eng.finished.clear()
+        eng.stats = {"decode_steps": 0, "prefills": 0, "tokens_out": 0}
+        eng._spec_accept_ema = float(k + 1)  # reset warmup's EMA
+        eng._spec_enabled = True
+        t0 = time.perf_counter()
+        for p in prompts:
+            eng.submit(p, max_new_tokens=max_new_tokens)
+        eng.run()
+        dt = time.perf_counter() - t0
+        toks = sum(len(r.output) for r in eng.finished)
+        return toks / dt, eng.stats
+
+    base, _ = capacity()
+    spec, spec_st = capacity(draft_params=dparams, draft_cfg=dcfg, spec_k=k)
+    adap, adap_st = capacity(
+        draft_params=dparams, draft_cfg=dcfg, spec_k=k, spec_adaptive=True
+    )
+    return {
+        "config": (
+            f"spec-adaptive random-pair GPT2-124M/draft2L k{k} "
+            f"slots{slots} x{n_requests}"
+        ),
+        "tokens_per_s_no_draft": base,
+        "tokens_per_s_spec_always": spec,
+        "tokens_per_s_adaptive": adap,
+        "recovered_frac_of_no_draft": adap / base,
+        "spec_rounds_before_retreat": adap_st.get("spec_disabled_at_round"),
+        "accept_ema_at_retreat": adap_st.get("spec_accept_ema"),
+        "spec_rounds_always": spec_st.get("spec_rounds"),
+    }
+
+
 def _synthetic_llama_quant(cfg, key, bits=8):
     """Llama params with projections generated directly as int8/int4+scales
     (no fp32 staging: a real 7B would need 27 GB host RAM otherwise)."""
@@ -826,6 +917,16 @@ def worker(args) -> int:
                     f"accept {r['accept_per_iter']:.2f}/{r['k'] + 1} per iter",
                     file=sys.stderr,
                 )
+        r = _row(bench_spec_adaptive)
+        if r:
+            print(
+                f"{r['config']:55s} no-draft {r['tokens_per_s_no_draft']:.0f} "
+                f"/ spec-always {r['tokens_per_s_spec_always']:.0f} "
+                f"/ adaptive {r['tokens_per_s_adaptive']:.0f} tok/s "
+                f"(recovered {r['recovered_frac_of_no_draft']*100:.0f}%, "
+                f"retreat at round {r['spec_rounds_before_retreat']})",
+                file=sys.stderr,
+            )
     if args.engine:
         r = _row(bench_engine_capacity)
         if r:

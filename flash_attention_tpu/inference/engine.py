@@ -135,7 +135,10 @@ class InferenceEngine:
         Greedy outputs are unchanged either way (speculation is exact),
         so the guard turns a badly-matched draft from a throughput LOSS
         (measured 1,807 vs 4,623 tok/s with a random-weights pair) into
-        a brief trial.  Off by default: the mechanism tests exercise
+        a brief trial.  After the retreat the engine also resumes
+        pipelined scans (safe: no speculative round can interleave
+        again), so it recovers draft-free behavior fully, not just the
+        scan path.  Off by default: the mechanism tests exercise
         low-acceptance drafts deliberately; production serving should
         turn it on."""
         self.params = params
@@ -779,11 +782,22 @@ class InferenceEngine:
             self._draft_stale.update(decode_slots)
         self.stats["decode_steps"] += steps
         slot_reqs = [(s, self.running[s]) for s in decode_slots]
-        if self.draft_params is None and self.pipeline_scans:
+        # Pipelining is safe whenever no speculative round can interleave:
+        # draft-free engines always, and draft engines once the adaptive
+        # guard has PERMANENTLY retreated (_spec_enabled False) — from that
+        # point the engine is draft-free in behavior, so it gets the
+        # overlapped drain back rather than paying the synchronous loop
+        # forever for a draft it no longer uses.
+        if (
+            self.draft_params is None or not self._spec_enabled
+        ) and self.pipeline_scans:
             # Pipelined: the host-side drain (one D2H) happens at the
             # bottom of the NEXT step, overlapped with that step's
             # dispatched scan.
             self._pending = (toks_dev, steps, slot_reqs)
+            self.stats["pipelined_scans"] = (
+                self.stats.get("pipelined_scans", 0) + 1
+            )
         else:
             self._drain_tokens(np.asarray(toks_dev), steps, slot_reqs)
 

@@ -263,6 +263,37 @@ def test_engine_spec_adaptive_retreats_from_bad_draft(params):
     assert stats["spec_rounds"] == stats["spec_disabled_at_round"], stats
 
 
+def test_engine_spec_adaptive_resumes_pipelining_after_retreat(params):
+    """Once the adaptive guard permanently retreats, no speculative round
+    can interleave again, so the engine resumes pipelined scans (the
+    overlapped drain draft-free engines use) instead of paying the
+    synchronous loop forever — with outputs still identical to the plain
+    engine."""
+    from flash_attention_tpu.inference import InferenceEngine
+
+    dparams = gpt.init_params(jax.random.PRNGKey(9), DRAFT)
+    prompts = [[3, 1, 4, 1, 5], [9, 2, 6]]
+
+    def run(**kw):
+        eng = InferenceEngine(params, CFG, slots=2, max_len=256, scan_steps=8, **kw)
+        for p in prompts:
+            eng.submit(p, max_new_tokens=40)
+        out = {r.uid: r.output for r in eng.run()}
+        return out, eng.stats
+
+    plain, plain_stats = run()
+    assert plain_stats.get("pipelined_scans", 0) > 0  # draft-free pipelines
+    spec, stats = run(
+        draft_params=dparams, draft_cfg=DRAFT, spec_k=3, spec_adaptive=True,
+        spec_min_accept=3.9,
+    )
+    assert plain == spec, (plain, spec)
+    assert "spec_disabled_at_round" in stats, stats
+    assert stats.get("pipelined_scans", 0) > 0, stats
+    # pre-retreat rounds stay synchronous: pipelined count < plain's
+    assert stats["pipelined_scans"] <= plain_stats["pipelined_scans"], stats
+
+
 def test_engine_spec_adaptive_keeps_good_draft(params):
     """A self-draft accepts everything, so the adaptive guard never
     fires and speculation runs for the whole workload."""
