@@ -213,6 +213,14 @@ class InferenceEngine:
         # steps is static: one compile per distinct scan length (full + the
         # shortened queue-pressure length — two in practice).
         self._decode_scan = jax.jit(_scan, static_argnums=(8, 9, 10))
+        # Admission-time first tokens are sampled in ONE dispatch per
+        # admission chunk: the per-request path (_sample_one) costs ~3
+        # tunnel roundtrips EACH (rng split + sample dispatch + int()
+        # fetch), so a full 8-wide batch admission paid ~24 roundtrips
+        # for its first tokens alone.  All-greedy chunks (the common
+        # serving case) skip the full-vocab sampling sort entirely.
+        self._argmax_first = jax.jit(lambda logits: jnp.argmax(logits, axis=-1))
+        self._sample_first = jax.jit(sample_tokens)
         self.draft_params = draft_params
         self.draft_cfg = draft_cfg
         self.spec_k = spec_k
@@ -466,10 +474,42 @@ class InferenceEngine:
                         )
                     for slot, *_ in chunk:
                         self._draft_stale.discard(slot)
+                first_dev, first_host = self._first_tokens(
+                    [it[1] for it in chunk], logits
+                )
+                # one batched carry update (a per-slot .at[].set costs a
+                # dispatch each); immediately-finished slots get a value
+                # too, harmlessly — they are inactive until re-admitted
+                self._next_tokens_dev = self._next_tokens_dev.at[
+                    jnp.asarray(slots_arr)
+                ].set(first_dev)
                 for i, (slot, req, n, _) in enumerate(chunk):
-                    if not self._finish_admission(slot, req, logits[i]):
+                    if not self._finish_admission(slot, req, int(first_host[i])):
                         refreed = True  # finished on its first token
         return refreed and bool(self.queue)
+
+    def _first_tokens(self, reqs, logits):
+        """Sample every admitted request's first token in one dispatch:
+        logits [m, vocab] -> (device tokens [m], host tokens [m])."""
+        temps = np.array([r.temperature for r in reqs], np.float32)
+        if (temps > 0.0).any():
+            vocab = logits.shape[-1]
+            topks = np.array(
+                [r.top_k if r.top_k is not None else vocab for r in reqs],
+                np.int32,
+            )
+            topps = np.array(
+                [r.top_p if r.top_p is not None else 1.0 for r in reqs],
+                np.float32,
+            )
+            self._rng, sub = jax.random.split(self._rng)
+            toks = self._sample_first(
+                logits, sub, jnp.asarray(temps), jnp.asarray(topks),
+                jnp.asarray(topps),
+            )
+        else:
+            toks = self._argmax_first(logits)
+        return toks, np.asarray(toks)
 
     def _resync_draft_slots(self, slots) -> None:
         """Re-prefill draft-cache slots that decoded through the regular
@@ -575,17 +615,16 @@ class InferenceEngine:
         if done:
             self._slot_cfg = None
 
-    def _finish_admission(self, slot: int, req: Request, logits) -> bool:
-        """Sample the prompt's first token and move the request into the
-        running set (shared by whole-prompt and chunked admission).  Returns
-        False if the request already finished (eos / max_new_tokens <= 1).
-        """
-        tok = self._sample_one(logits, req)
+    def _finish_admission(self, slot: int, req: Request, tok: int) -> bool:
+        """Record the prompt's first token and move the request into the
+        running set (shared by whole-prompt and chunked admission; the
+        caller samples — batched for whole-prompt admissions — and updates
+        the device-side token carry).  Returns False if the request already
+        finished (eos / max_new_tokens <= 1)."""
         req.first_token_time = time.time()
         req.output.append(int(tok))
         if req.on_token is not None:
             req.on_token(req, int(tok))
-        self._next_tokens_dev = self._next_tokens_dev.at[slot].set(tok)
         self._slot_cfg = None  # running set changes: rebuild on device
         self.stats["prefills"] += 1
         self.stats["tokens_out"] += 1
@@ -645,7 +684,9 @@ class InferenceEngine:
                     jnp.int32(n),
                 )
                 self._draft_stale.discard(slot)
-            self._finish_admission(slot, req, logits)
+            tok = self._sample_one(logits, req)
+            self._next_tokens_dev = self._next_tokens_dev.at[slot].set(tok)
+            self._finish_admission(slot, req, tok)
 
     def _sample_one(self, logits: jax.Array, req: Request) -> int:
         self._rng, sub = jax.random.split(self._rng)
