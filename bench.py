@@ -633,9 +633,8 @@ def bench_spec_adaptive(slots=8, n_requests=16, prompt_len=200,
             eng._spec_enabled = False
             warm_all_paths()
         eng.finished.clear()
-        eng.stats = {"decode_steps": 0, "prefills": 0, "tokens_out": 0}
-        eng._spec_accept_ema = float(k + 1)  # reset warmup's EMA
-        eng._spec_enabled = True
+        eng.reset_stats()
+        eng.reset_spec_state()  # the warmup's EMA/retreat must not leak
         t0 = time.perf_counter()
         for p in prompts:
             eng.submit(p, max_new_tokens=max_new_tokens)

@@ -17,6 +17,7 @@ the old cost).  Run on the real chip:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -24,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from flash_attention_tpu.inference.engine import InferenceEngine  # noqa: E402
 from flash_attention_tpu.models import gpt  # noqa: E402
 

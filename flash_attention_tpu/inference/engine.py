@@ -90,6 +90,8 @@ class InferenceEngine:
         spec_k: int = 4,
         spec_adaptive: bool = False,
         spec_min_accept: float | None = None,
+        spec_retrial_every: int = 32,
+        spec_reopen_margin: float | None = None,
         pipeline_scans: bool = True,
     ):
         """cfg: a GPTConfig (default architecture) or any config whose
@@ -131,16 +133,26 @@ class InferenceEngine:
         rounds, and once it falls below `spec_min_accept` (default
         0.6*(spec_k+1), the measured GPT-2-scale crossover where a spec
         iteration stops beating a regular scan step) the engine routes
-        everything through the regular scan for the rest of its life.
-        Greedy outputs are unchanged either way (speculation is exact),
-        so the guard turns a badly-matched draft from a throughput LOSS
-        (measured 1,807 vs 4,623 tok/s with a random-weights pair) into
-        a brief trial.  After the retreat the engine also resumes
-        pipelined scans (safe: no speculative round can interleave
-        again), so it recovers draft-free behavior fully, not just the
-        scan path.  Off by default: the mechanism tests exercise
-        low-acceptance drafts deliberately; production serving should
-        turn it on."""
+        everything through the regular scan.  Greedy outputs are
+        unchanged either way (speculation is exact), so the guard turns
+        a badly-matched draft from a throughput LOSS (measured 1,807 vs
+        4,623 tok/s with a random-weights pair) into a brief trial.
+        After the retreat the engine resumes pipelined scans and stops
+        paying draft prefills at admission, so it recovers draft-free
+        behavior fully, not just the scan path.  Off by default: the
+        mechanism tests exercise low-acceptance drafts deliberately;
+        production serving should turn it on.
+
+        spec_retrial_every: the retreat is NOT a one-way door — every
+        `spec_retrial_every` regular scans the engine runs ONE
+        speculative trial round (re-syncing the idle draft cache first)
+        and re-opens the gate if that round's mean accepted tokens
+        clears `spec_min_accept + spec_reopen_margin` (hysteresis:
+        re-opening demands a margin the retreat didn't, default
+        0.1*(spec_k+1), so a draft hovering at the threshold can't
+        flap).  Each failed trial DOUBLES the wait before the next
+        (exponential backoff), bounding trial overhead on a permanently
+        bad draft.  0 restores the permanent retreat."""
         self.params = params
         self.cfg = cfg
         self.slots = slots
@@ -229,10 +241,17 @@ class InferenceEngine:
             spec_min_accept if spec_min_accept is not None
             else 0.6 * (spec_k + 1)
         )
+        self.spec_retrial_every = max(0, spec_retrial_every)
+        self.spec_reopen_margin = (
+            spec_reopen_margin if spec_reopen_margin is not None
+            else 0.1 * (spec_k + 1)
+        )
         # Optimistic start (= perfect acceptance): the draft gets a fair
         # trial before the EMA can cross the retreat threshold.
         self._spec_accept_ema = float(spec_k + 1)
         self._spec_enabled = True
+        self._scans_since_retreat = 0
+        self._spec_retrial_interval = self.spec_retrial_every
         if draft_params is not None:
             if prefill_fn is not None or decode_fn is not None:
                 raise ValueError(
@@ -369,11 +388,32 @@ class InferenceEngine:
         self._advance_prefills()
         prev = self._pending
         self._pending = None
+        if prev is not None and self._spec_trial_due():
+            # A speculative trial round appends tokens host-side as soon as
+            # it runs; the in-flight scan's tokens come chronologically
+            # FIRST, so drain them before the trial can interleave (the
+            # draft resync also needs req.output up to date).
+            toks_dev, steps, slot_reqs = prev
+            self._drain_tokens(np.asarray(toks_dev), steps, slot_reqs)
+            prev = None
         if self.running:
             self._decode_all()
         if prev is not None:
             toks_dev, steps, slot_reqs = prev
             self._drain_tokens(np.asarray(toks_dev), steps, slot_reqs)
+
+    def reset_stats(self) -> None:
+        """Zero the stats counters (supported benchmark warmup API)."""
+        self.stats = {"decode_steps": 0, "prefills": 0, "tokens_out": 0}
+
+    def reset_spec_state(self) -> None:
+        """Restore the adaptive-speculation gate to its optimistic start
+        (supported benchmark warmup API: a warmup run that trips the
+        retreat must not leak into the measured run)."""
+        self._spec_accept_ema = float(self.spec_k + 1)
+        self._spec_enabled = True
+        self._scans_since_retreat = 0
+        self._spec_retrial_interval = self.spec_retrial_every
 
     # ---------------------------------------------------------------- private
 
@@ -455,7 +495,7 @@ class InferenceEngine:
                         jnp.asarray(slots_arr),
                         jnp.asarray(lens_arr),
                     )
-                if self.draft_params is not None:
+                if self.draft_params is not None and self._spec_enabled:
                     if m == 1:
                         self.draft_cache, _ = self._draft_prefill(
                             self.draft_params,
@@ -472,8 +512,16 @@ class InferenceEngine:
                             jnp.asarray(slots_arr),
                             jnp.asarray(lens_arr),
                         )
+                    self.stats["draft_prefills"] = (
+                        self.stats.get("draft_prefills", 0) + 1
+                    )
                     for slot, *_ in chunk:
                         self._draft_stale.discard(slot)
+                elif self.draft_params is not None:
+                    # Retreated: the only consumer of the draft cache is a
+                    # future re-trial round, which resyncs stale slots
+                    # itself — skip the per-admission draft dispatch.
+                    self._draft_stale.update(s for s, *_ in chunk)
                 first_dev, first_host = self._first_tokens(
                     [it[1] for it in chunk], logits
                 )
@@ -498,14 +546,28 @@ class InferenceEngine:
                 [r.top_k if r.top_k is not None else vocab for r in reqs],
                 np.int32,
             )
-            topps = np.array(
-                [r.top_p if r.top_p is not None else 1.0 for r in reqs],
-                np.float32,
+            # Mirror the decode scan's use_top_p flag: when no request in
+            # the chunk sets top_p, pass None so sample_tokens skips the
+            # full-vocab nucleus softmax+cumsum entirely.
+            use_top_p = any(
+                r.top_p is not None and r.top_p < 1.0 for r in reqs
+            )
+            topps = (
+                jnp.asarray(
+                    np.array(
+                        [
+                            r.top_p if r.top_p is not None else 1.0
+                            for r in reqs
+                        ],
+                        np.float32,
+                    )
+                )
+                if use_top_p
+                else None
             )
             self._rng, sub = jax.random.split(self._rng)
             toks = self._sample_first(
-                logits, sub, jnp.asarray(temps), jnp.asarray(topks),
-                jnp.asarray(topps),
+                logits, sub, jnp.asarray(temps), jnp.asarray(topks), topps
             )
         else:
             toks = self._argmax_first(logits)
@@ -541,13 +603,29 @@ class InferenceEngine:
             self.stats["draft_resyncs"] = self.stats.get("draft_resyncs", 0) + 1
         self._draft_stale.clear()
 
-    def _decode_speculative(self, slots) -> None:
+    def _spec_trial_due(self) -> bool:
+        """True when the next decode round should be a speculative re-trial
+        (retreated + spec_adaptive + the backoff interval has elapsed)."""
+        return (
+            self.draft_params is not None
+            and self.spec_adaptive
+            and not self._spec_enabled
+            and self.spec_retrial_every > 0
+            and self._scans_since_retreat >= self._spec_retrial_interval
+        )
+
+    def _decode_speculative(self, slots, trial: bool = False) -> None:
         """Route one decode round through the draft-verify loop for the
         given (greedy) slots.  Slots outside `slots` — empty or sampled —
         are masked inactive: they compute garbage but their cache lengths
         never advance and the rows the round scribbles sit past their
         lengths (dead by the cache contract), so sampled requests sharing
-        the batch are untouched."""
+        the batch are untouched.
+
+        trial=True: a re-trial round after an adaptive retreat.  The gate
+        re-opens only if THIS round's mean accepted tokens clears
+        spec_min_accept + spec_reopen_margin (hysteresis); a failed trial
+        doubles the wait before the next one (backoff)."""
         from .speculative import PAD, gather_tokens
 
         self._resync_draft_slots(slots)
@@ -566,7 +644,21 @@ class InferenceEngine:
         counts = np.asarray(counts_dev)  # [iters, S]
         self.stats["decode_steps"] += int(counts.shape[0]) * (self.spec_k + 1)
         self.stats["spec_rounds"] = self.stats.get("spec_rounds", 0) + 1
-        if self.spec_adaptive:
+        if trial:
+            got = counts[:, list(slots)]
+            round_mean = float(got.mean()) if got.size else 0.0
+            self.stats["spec_trials"] = self.stats.get("spec_trials", 0) + 1
+            self._scans_since_retreat = 0
+            if round_mean >= self.spec_min_accept + self.spec_reopen_margin:
+                # The draft earns its way back with a margin the retreat
+                # didn't demand — hysteresis against flapping.
+                self._spec_enabled = True
+                self._spec_accept_ema = round_mean
+                self.stats["spec_accept_ema"] = round(round_mean, 3)
+                self.stats["spec_reopened_at_round"] = self.stats["spec_rounds"]
+            else:
+                self._spec_retrial_interval *= 2  # backoff: trials get rarer
+        elif self.spec_adaptive:
             got = counts[:, list(slots)]
             if got.size:
                 self._spec_accept_ema = (
@@ -575,9 +667,10 @@ class InferenceEngine:
             self.stats["spec_accept_ema"] = round(self._spec_accept_ema, 3)
             if self._spec_accept_ema < self.spec_min_accept:
                 # Acceptance too low for a spec iteration to beat a plain
-                # scan step: retreat to the regular scan permanently
-                # (outputs are unchanged — speculation is greedy-exact).
+                # scan step: retreat to the regular scan (re-triable every
+                # spec_retrial_every scans; permanent when that is 0).
                 self._spec_enabled = False
+                self._scans_since_retreat = 0
                 self.stats["spec_disabled_at_round"] = self.stats["spec_rounds"]
         done: list[int] = []
         next_toks = np.array(self._next_tokens_dev)  # writable copy
@@ -670,7 +763,7 @@ class InferenceEngine:
                 self.prefilling[slot][1] = pos
                 continue
             del self.prefilling[slot]
-            if self.draft_params is not None:
+            if self.draft_params is not None and self._spec_enabled:
                 # draft models are small: one whole-prompt draft prefill at
                 # chunk completion keeps the caches aligned
                 bucket = self._bucket_len(n)
@@ -683,7 +776,12 @@ class InferenceEngine:
                     jnp.int32(slot),
                     jnp.int32(n),
                 )
+                self.stats["draft_prefills"] = (
+                    self.stats.get("draft_prefills", 0) + 1
+                )
                 self._draft_stale.discard(slot)
+            elif self.draft_params is not None:
+                self._draft_stale.add(slot)  # see _admit_round's retreat note
             tok = self._sample_one(logits, req)
             self._next_tokens_dev = self._next_tokens_dev.at[slot].set(tok)
             self._finish_admission(slot, req, tok)
@@ -714,7 +812,8 @@ class InferenceEngine:
         host-side and the slot is retired — a few wasted device steps buy
         the removal of the ~ms-scale per-token dispatch latency.
         """
-        if self.draft_params is not None and self._spec_enabled:
+        trial = self._spec_trial_due()
+        if self.draft_params is not None and (self._spec_enabled or trial):
             # Per-slot routing: greedy slots speculate, sampled slots take
             # the regular scan — one sampled request no longer disables
             # speculation for the whole batch (two dispatches per round
@@ -726,12 +825,15 @@ class InferenceEngine:
                 s for s, r in self.running.items() if r.temperature > 0.0
             ]
             if greedy:
-                self._decode_speculative(greedy)
+                self._decode_speculative(greedy, trial=trial)
             if not sampled:
                 return
             decode_slots = sampled
         else:
             decode_slots = list(self.running)
+            if self.draft_params is not None and not self._spec_enabled:
+                # Count regular scans toward the next re-trial.
+                self._scans_since_retreat += 1
         if self._slot_cfg is None:
             active = np.zeros((self.slots,), bool)
             temps = np.zeros((self.slots,), np.float32)

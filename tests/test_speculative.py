@@ -309,3 +309,99 @@ def test_engine_spec_adaptive_keeps_good_draft(params):
     assert "spec_disabled_at_round" not in eng.stats, eng.stats
     assert eng.stats.get("spec_rounds", 0) >= 2
     assert eng.stats["spec_accept_ema"] > 3.0, eng.stats
+
+
+def test_engine_spec_retrial_reopens_when_draft_recovers(params):
+    """The retreat is not a one-way door: after the adaptive guard closes
+    the gate, a periodic re-trial round (spec_retrial_every) re-measures
+    acceptance and re-opens once a trial clears the threshold + margin.
+    The draft 'recovering' is modeled by swapping in the target's own
+    params (a self-draft: perfect acceptance) after the retreat —
+    supported because draft params are plain jit arguments."""
+    from flash_attention_tpu.inference import InferenceEngine
+
+    dparams = gpt.init_params(jax.random.PRNGKey(9), CFG)  # bad same-arch draft
+    reopened = {}
+
+    eng = InferenceEngine(
+        params, CFG, slots=2, max_len=256, scan_steps=4,
+        draft_params=dparams, draft_cfg=CFG, spec_k=3, spec_adaptive=True,
+        spec_min_accept=3.9, spec_reopen_margin=0.0, spec_retrial_every=2,
+    )
+
+    def on_token(req, tok):
+        # the instant the retreat lands, the draft "becomes good"
+        if not eng._spec_enabled and "swapped" not in reopened:
+            eng.draft_params = params
+            reopened["swapped"] = True
+
+    eng.submit([3, 1, 4, 1, 5], max_new_tokens=96, on_token=on_token)
+    done = eng.run()
+    assert len(done) == 1 and len(done[0].output) == 96
+    stats = eng.stats
+    assert "spec_disabled_at_round" in stats, stats
+    assert stats.get("spec_trials", 0) >= 1, stats
+    assert "spec_reopened_at_round" in stats, stats
+    assert eng._spec_enabled, stats
+    # post-reopen rounds kept speculating
+    assert stats["spec_rounds"] > stats["spec_reopened_at_round"], stats
+    # greedy-exactness end to end: identical to a plain engine
+    plain = InferenceEngine(params, CFG, slots=2, max_len=256, scan_steps=4)
+    plain.submit([3, 1, 4, 1, 5], max_new_tokens=96)
+    assert plain.run()[0].output == done[0].output
+
+
+def test_engine_spec_retrial_stays_off_for_bad_draft_with_backoff(params):
+    """A draft that stays bad: trials keep failing, the gate stays closed,
+    and exponential backoff spaces them out (no flapping).  Outputs remain
+    identical to the plain engine throughout."""
+    from flash_attention_tpu.inference import InferenceEngine
+
+    dparams = gpt.init_params(jax.random.PRNGKey(9), DRAFT)
+    prompt = [3, 1, 4, 1, 5]
+
+    def run(**kw):
+        eng = InferenceEngine(
+            params, CFG, slots=2, max_len=256, scan_steps=4, **kw
+        )
+        eng.submit(prompt, max_new_tokens=120)
+        out = eng.run()[0].output
+        return out, eng
+
+    plain, _ = run()
+    spec, eng = run(
+        draft_params=dparams, draft_cfg=DRAFT, spec_k=3, spec_adaptive=True,
+        spec_min_accept=3.9, spec_retrial_every=2,
+    )
+    assert plain == spec
+    stats = eng.stats
+    assert "spec_disabled_at_round" in stats, stats
+    assert stats.get("spec_trials", 0) >= 2, stats
+    assert "spec_reopened_at_round" not in stats, stats
+    assert not eng._spec_enabled
+    # backoff doubled the interval after each failed trial
+    assert eng._spec_retrial_interval >= 2 * 2 ** (stats["spec_trials"] - 1)
+
+
+def test_engine_no_draft_prefills_after_retreat(params):
+    """ADVICE r4 (medium): once retreated, admissions must stop paying the
+    draft prefill dispatch — the draft cache's only consumer is a future
+    re-trial, which resyncs stale slots itself."""
+    from flash_attention_tpu.inference import InferenceEngine
+
+    dparams = gpt.init_params(jax.random.PRNGKey(9), DRAFT)
+    eng = InferenceEngine(
+        params, CFG, slots=2, max_len=256, scan_steps=4,
+        draft_params=dparams, draft_cfg=DRAFT, spec_k=3, spec_adaptive=True,
+        spec_min_accept=3.9, spec_retrial_every=0,  # permanent retreat
+    )
+    eng.submit([3, 1, 4, 1, 5], max_new_tokens=40)
+    eng.run()
+    assert "spec_disabled_at_round" in eng.stats, eng.stats
+    before = eng.stats.get("draft_prefills", 0)
+    for _ in range(3):  # admissions after the retreat
+        eng.submit([9, 2, 6], max_new_tokens=8)
+    eng.run()
+    assert eng.stats.get("draft_prefills", 0) == before, eng.stats
+    # and with retrials off, no trial ever fires
+    assert eng.stats.get("spec_trials", 0) == 0, eng.stats
