@@ -402,6 +402,24 @@ class InferenceEngine:
             toks_dev, steps, slot_reqs = prev
             self._drain_tokens(np.asarray(toks_dev), steps, slot_reqs)
 
+    def warmup_autotune(self, buckets: list[int] | None = None) -> None:
+        """Measure the best attention tiling for the engine's whole-prompt
+        prefill shapes (b=1, the engine's per-prompt geometry) on the live
+        chip and cache them (kernels/autotune.py), so prefill's
+        flash_attention resolves its default blocks to the measured
+        winners.  One sweep per bucket per chip kind, persisted across
+        processes; batched prefill_many shapes keep the hand-tuned
+        defaults (their batch dim is part of the tuner's cache key).
+
+        buckets: bucket lengths to tune; default = every admission bucket
+        large enough to leave the kernel's dense-fallback regime."""
+        from ..kernels.autotune import autotune_for_model
+        from ..kernels.block_sizes import MIN_BLOCK
+
+        for bucket in buckets if buckets is not None else self.buckets:
+            if bucket >= MIN_BLOCK:
+                autotune_for_model(self.cfg, 1, seq_len=bucket)
+
     def reset_stats(self) -> None:
         """Zero the stats counters (supported benchmark warmup API)."""
         self.stats = {"decode_steps": 0, "prefills": 0, "tokens_out": 0}

@@ -40,7 +40,10 @@ import jax.numpy as jnp
 from ..utils.measure import chain_timer
 from .block_sizes import MIN_BLOCK, BlockSizes, default_blocks
 
-__all__ = ["autotune", "tuned_blocks", "candidate_blocks", "clear_cache"]
+__all__ = [
+    "autotune", "autotune_for_model", "tuned_blocks", "candidate_blocks",
+    "clear_cache",
+]
 
 _LOCK = threading.Lock()
 _MEM: dict[str, Any] | None = None
@@ -187,6 +190,39 @@ def autotune(
             }
             _save()
     return best[1]
+
+
+def autotune_for_model(
+    cfg,
+    batch_size: int,
+    *,
+    seq_len: int | None = None,
+    causal: bool = True,
+    dtype=None,
+    **kw,
+) -> BlockSizes:
+    """Warm the tuned-blocks cache for a model's self-attention shape.
+
+    cfg: a GPTConfig or LlamaConfig (anything with head_dim / n_head and
+    block_size or max_seq).  Builds dummy q/k/v at the model's attention
+    geometry ([B, H, L, D], GQA-aware) and runs `autotune`, so subsequent
+    `flash_attention` calls at that shape — the trainer's forward, the
+    engine's whole-prompt prefill — pick the measured tiling via the
+    default-blocks path.  The warm-up hooks (Trainer.warmup_autotune,
+    InferenceEngine.warmup_autotune) call this."""
+    d = cfg.head_dim
+    h = cfg.n_head
+    hkv = (
+        cfg.kv_heads if hasattr(cfg, "kv_heads")
+        else getattr(cfg, "n_kv_head", None) or h
+    )
+    l = seq_len or getattr(cfg, "block_size", None) or cfg.max_seq
+    dtype = dtype or cfg.dtype
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (batch_size, h, l, d), dtype)
+    k = jax.random.normal(ks[1], (batch_size, hkv, l, d), dtype)
+    v = jax.random.normal(ks[2], (batch_size, hkv, l, d), dtype)
+    return autotune(q, k, v, causal=causal, **kw)
 
 
 def tuned_blocks(

@@ -1291,7 +1291,19 @@ def flash_attention(
                 lq, lk, num_chunks_q or 1, num_chunks_kv or 1
             )
         else:
-            block_sizes = default_blocks(lq, lk, d, group)
+            # Measurement replaces the guess (autotune.py): when this
+            # exact configuration has been autotuned on this device kind,
+            # use the measured winner; otherwise the hand-tuned defaults.
+            # Window/segment variants keep the defaults — the tuner's
+            # cache entries were measured on the plain causal kernel.
+            if window is None and segment_ids is None:
+                from .autotune import tuned_blocks
+
+                block_sizes = tuned_blocks(
+                    q.shape, lk, q.dtype, causal=causal, num_kv_heads=hkv
+                )
+            if block_sizes is None:
+                block_sizes = default_blocks(lq, lk, d, group)
     # Clamp blocks to (128-aligned) sequence lengths.
     block_sizes = dataclasses.replace(
         block_sizes,

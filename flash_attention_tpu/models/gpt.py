@@ -53,6 +53,22 @@ class GPTConfig:
     # LN inputs have mu^2/var = O(1) where it is exact to ~1e-7, but set
     # False to restore jnp.var's two-pass form for ill-conditioned rows.
     fast_ln: bool = True
+    # Sequence/context parallelism: when seq_mesh is a jax.sharding.Mesh
+    # with `seq_axis` among its axis names, every attention routes through
+    # ring attention (parallel/ring_attention.py) — activations stay
+    # sequence-sharded through the whole transformer and KV shards rotate
+    # over ICI (the TPU analog of mapping the reference's kv Repeat loop
+    # axis onto devices, cpp/flash_attention_qkv_packed.cpp:311).
+    # seq_batch_axis: mesh axis the batch dim is sharded over (set to
+    # "data" for dp x cp training so the ring's shard_map keeps the batch
+    # distributed).  seq_zigzag: causal load balancing — the forward
+    # permutes tokens into zig-zag chunk order ONCE at the embedding and
+    # restores logits order at the head, so per-layer attention needs no
+    # reorder (ring_attention(preordered=True)).
+    seq_mesh: Any = None
+    seq_axis: str = "seq"
+    seq_batch_axis: str | None = None
+    seq_zigzag: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -148,7 +164,20 @@ def _attention(x, p, cfg: GPTConfig, rng, deterministic):
     q = q.reshape(b, t, h, d).transpose(0, 2, 1, 3)
     k = k.reshape(b, t, hkv, d).transpose(0, 2, 1, 3)
     v = v.reshape(b, t, hkv, d).transpose(0, 2, 1, 3)
-    if cfg.use_flash:
+    if cfg.seq_mesh is not None:
+        # Context-parallel attention: L stays sharded over cfg.seq_axis;
+        # the kernel runs per shard and KV rotates around the ICI ring.
+        from ..parallel.ring_attention import ring_attention
+
+        y = ring_attention(
+            q, k, v, cfg.seq_mesh,
+            axis_name=cfg.seq_axis,
+            causal=True,
+            zigzag=cfg.seq_zigzag,
+            batch_axis=cfg.seq_batch_axis,
+            preordered=cfg.seq_zigzag,  # forward() pre-orders tokens once
+        )
+    elif cfg.use_flash:
         y = flash_attention(q, k, v, causal=True)
     else:
         if hkv != h:
@@ -190,11 +219,26 @@ def forward(
         if rng is not None
         else [None] * (2 * cfg.n_layer + 1)
     )
+    # Zig-zag context parallelism: permute tokens into zig-zag chunk order
+    # ONCE here (and positions with them — the attention body assumes the
+    # striped layout), restore order on the logits at the head.  LN/MLP
+    # are position-independent, so nothing else notices.
+    zig = cfg.seq_mesh is not None and cfg.seq_zigzag
+    if zig:
+        from ..parallel.ring_attention import zigzag_indices, zigzag_inverse
+
+        n_seq = cfg.seq_mesh.shape[cfg.seq_axis]
+        zidx = zigzag_indices(t, n_seq)
+        idx = jnp.take(idx, zidx, axis=1)
+        pos = zidx
+    else:
+        pos = None
     # jax.named_scope plays the role of the reference's pervasive
     # DebugContext names (e.g. "o_i += attn_ij @ v_j") so profiler traces
     # read as algebra (SURVEY.md §5 "Tracing / profiling").
     with jax.named_scope("embed"):
-        x = params["wte"][idx] + params["wpe"][:t]
+        wpe = params["wpe"][:t] if pos is None else params["wpe"][pos]
+        x = params["wte"][idx] + wpe
         x = x.astype(cfg.dtype)
         x = _dropout(x, cfg.dropout, rngs[0], deterministic)
     def block_fn(x, blk, rng_a, rng_m):
@@ -218,7 +262,10 @@ def forward(
     # d_logits and the two 633-GFLOP lm-head backward matmuls run in native
     # bf16 MXU passes (an fp32 logits cast here forced them to fp32 passes
     # — measured ~15% of the whole train step).
-    return jnp.einsum("bte,ve->btv", x, params["wte"].astype(x.dtype))
+    logits = jnp.einsum("bte,ve->btv", x, params["wte"].astype(x.dtype))
+    if zig:
+        logits = jnp.take(logits, zigzag_inverse(t, n_seq), axis=1)
+    return logits
 
 
 def loss_fn(

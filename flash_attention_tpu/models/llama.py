@@ -35,6 +35,15 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     rms_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
+    # Sequence/context parallelism (training/scoring forward only): when
+    # seq_mesh is set, attention routes through ring attention with L
+    # sharded over `seq_axis` — see models/gpt.py for the field semantics.
+    # RoPE composes cleanly: rotations depend only on each token's
+    # absolute position, which the zig-zag path permutes alongside tokens.
+    seq_mesh: Any = None
+    seq_axis: str = "seq"
+    seq_batch_axis: str | None = None
+    seq_zigzag: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -140,14 +149,43 @@ def _mlp(x, blk):
 def forward(params: Params, idx: jax.Array, cfg: LlamaConfig) -> jax.Array:
     """Token ids [B, T] -> logits [B, T, vocab] (training / scoring path)."""
     b, t = idx.shape
+    # Context parallelism: with a live seq mesh, attention rides the ring;
+    # zig-zag order is applied once at the token level (positions permute
+    # with their tokens, so RoPE is untouched semantically) and undone on
+    # the logits.  See models/gpt.py::forward for the layout discussion.
+    zig = cfg.seq_mesh is not None and cfg.seq_zigzag
+    if zig:
+        from ..parallel.ring_attention import zigzag_indices, zigzag_inverse
+
+        n_seq = cfg.seq_mesh.shape[cfg.seq_axis]
+        zidx = zigzag_indices(t, n_seq)
+        idx = jnp.take(idx, zidx, axis=1)
+        positions = zidx
+    else:
+        positions = jnp.arange(t)
+    if cfg.seq_mesh is not None:
+        from ..parallel.ring_attention import ring_attention as _ring
+
+        def _attend(q, k, v):
+            return _ring(
+                q, k, v, cfg.seq_mesh,
+                axis_name=cfg.seq_axis,
+                causal=True,
+                zigzag=cfg.seq_zigzag,
+                batch_axis=cfg.seq_batch_axis,
+                preordered=cfg.seq_zigzag,
+            )
+    else:
+        def _attend(q, k, v):
+            return flash_attention(q, k, v, causal=True)
     x = params["wte"][idx].astype(cfg.dtype)
-    cos, sin = rope_cos_sin(jnp.arange(t), cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
     cos, sin = cos[None, None], sin[None, None]  # [1, 1, T, half]
     for blk in params["blocks"]:
         xa = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
         q, k, v = _project_qkv(xa, blk, cfg, b, t)
         q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
-        y = flash_attention(q, k, v, causal=True)
+        y = _attend(q, k, v)
         y = y.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_head * cfg.head_dim)
         x = x + _mm(y, blk["wo"])
         x = x + _mlp(_rms_norm(x, blk["mlp_norm"], cfg.rms_eps), blk)
@@ -158,7 +196,10 @@ def forward(params: Params, idx: jax.Array, cfg: LlamaConfig) -> jax.Array:
     # cast here forced fp32 passes — measured ~15% of the whole train
     # step on the GPT family, models/gpt.py:198-203; argmax decode is
     # unaffected: widening bf16 to fp32 cannot reorder values).
-    return _mm(x, params["lm_head"])
+    logits = _mm(x, params["lm_head"])
+    if zig:
+        logits = jnp.take(logits, zigzag_inverse(t, n_seq), axis=1)
+    return logits
 
 
 def loss_fn(params, idx, targets, cfg: LlamaConfig) -> jax.Array:

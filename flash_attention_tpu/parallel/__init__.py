@@ -12,7 +12,10 @@ from .inference_tp import (
     tp_decode_loop,
     tp_prefill,
 )
-from .mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS, batch_sharding, make_mesh, replicated
+from .mesh import (
+    DATA_AXIS, MODEL_AXIS, SEQ_AXIS, batch_sharding, make_mesh, replicated,
+    seq_batch_sharding,
+)
 from .multihost import assert_same_across_hosts, initialize_multihost, topology
 from .ring_attention import head_parallel_attention, ring_attention
 from .sharding import gpt_param_sharding, gpt_param_specs, shard_params
@@ -28,6 +31,7 @@ __all__ = [
     "SEQ_AXIS",
     "assert_same_across_hosts",
     "batch_sharding",
+    "seq_batch_sharding",
     "gpt_param_sharding",
     "gpt_param_specs",
     "head_parallel_attention",

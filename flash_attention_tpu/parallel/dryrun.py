@@ -78,6 +78,53 @@ def dryrun_train_step(n_devices: int) -> None:
     zerr = float(jnp.max(jnp.abs(out - out_z)))
     assert zerr < 1e-4, f"zigzag mismatch {zerr}"
 
+    # Context-parallel TRAINING end to end: a dp x seq mesh, batch [B, T]
+    # sharded (data, seq), ring attention INSIDE the transformer
+    # (GPTConfig.seq_mesh), one full fwd+bwd+AdamW step — gradients cross
+    # the shard boundary through the ring's lse-cotangent path.  Loss is
+    # pinned against the unsharded step (collectives are exact in fp32).
+    import dataclasses
+
+    from .mesh import SEQ_AXIS, seq_batch_sharding
+
+    sp = 4 if n_devices % 4 == 0 else n_devices
+    dpc = n_devices // sp
+    cp_mesh = make_mesh(data=dpc, seq=sp, devices=devices[:n_devices])
+    cp_block = 64 * sp  # L = 64 tokens per shard
+    cp_base = dataclasses.replace(cfg, block_size=cp_block)
+    cp_cfg = dataclasses.replace(
+        cp_base, seq_mesh=cp_mesh, seq_batch_axis=DATA_AXIS,
+    )
+    cp_params = gpt.init_params(jax.random.PRNGKey(4), cp_base)
+    cp_opt_state = opt.init(cp_params)
+    cp_batch = max(dpc, 2)
+    cp_idx = jax.random.randint(
+        jax.random.PRNGKey(5), (cp_batch, cp_block), 0, cfg.vocab_size
+    )
+    cp_tgt = jax.random.randint(
+        jax.random.PRNGKey(6), (cp_batch, cp_block), 0, cfg.vocab_size
+    )
+    cp_rng = jax.random.PRNGKey(7)
+    _, _, cp_loss_ref = jax.jit(make_train_step(cp_base, opt))(
+        cp_params, cp_opt_state, cp_idx, cp_tgt, cp_rng
+    )
+    cp_shard = seq_batch_sharding(cp_mesh)
+    cp_step = jax.jit(
+        make_train_step(cp_cfg, opt),
+        in_shardings=(None, None, cp_shard, cp_shard, None),
+    )
+    cp_params2, _, cp_loss = cp_step(
+        cp_params, cp_opt_state,
+        jax.device_put(cp_idx, cp_shard), jax.device_put(cp_tgt, cp_shard),
+        cp_rng,
+    )
+    jax.block_until_ready(cp_params2)
+    cp_err = abs(float(cp_loss) - float(cp_loss_ref))
+    assert cp_err < 1e-5, (
+        f"context-parallel train-step loss mismatch: {float(cp_loss)} vs "
+        f"{float(cp_loss_ref)} (|diff| {cp_err:.2e})"
+    )
+
     # Tensor-parallel SERVING: llama prefill + decode_loop with params
     # column/row-sharded and the KV cache sharded over kv heads.
     from ..inference import init_cache
@@ -110,6 +157,10 @@ def dryrun_train_step(n_devices: int) -> None:
         f"dryrun ok: dp={dp} tp={tp} train-step loss={float(loss):.4f}; "
         f"ring attention over seq={n_devices} at L={l} "
         f"(overlapped ppermute; zigzag balanced schedule matches: "
-        f"max|diff|={zerr:.2e}); tp={tp} llama serving decode ran "
+        f"max|diff|={zerr:.2e}); context-parallel train step dp={dpc} x "
+        f"seq={sp} at L={cp_block} with ring attention inside the model "
+        f"(grads through the ring): loss {float(cp_loss):.4f} == "
+        f"unsharded {float(cp_loss_ref):.4f} (|diff| {cp_err:.1e}); "
+        f"tp={tp} llama serving decode ran "
         f"({toks.shape[0]} steps, cache sharded over kv heads)"
     )

@@ -58,3 +58,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading batch dim over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def seq_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Context-parallel training batches [B, T]: batch over data, tokens
+    over seq — pairs with GPTConfig/LlamaConfig(seq_mesh=mesh,
+    seq_batch_axis=DATA_AXIS) so activations stay sequence-sharded end to
+    end and ring attention's shard_map keeps both axes distributed."""
+    return NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS))

@@ -231,6 +231,8 @@ def ring_attention(
     sm_scale: float | None = None,
     block_sizes: BlockSizes | None = None,
     zigzag: bool = False,
+    batch_axis: str | None = None,
+    preordered: bool = False,
 ) -> jax.Array:
     """Sequence-sharded attention over `mesh[axis_name]`.
 
@@ -249,10 +251,20 @@ def ring_attention(
     (d, 2n-1-d) of 2n), every device then does identical causal work per
     ring step, and the output is restored to natural order.  Requires L
     divisible by 2n.
+
+    batch_axis: mesh axis the BATCH dim is sharded over (dp x cp training:
+    pass the "data" axis so the shard_map keeps the batch distributed
+    instead of forcing an all-gather to replicate it).
+
+    preordered=True (with zigzag): inputs are ALREADY in zig-zag chunk
+    order and the output is returned in that order — no take/untake.  The
+    model-integration path uses this so a whole transformer pays the two
+    boundary permutes ONCE (tokens at embedding, logits at the head)
+    instead of two gathers per layer.
     """
     if sm_scale is None:
         sm_scale = float(q.shape[-1]) ** -0.5
-    spec = P(None, None, axis_name, None)
+    spec = P(batch_axis, None, axis_name, None)
     if zigzag:
         if not causal:
             raise ValueError("zigzag sharding only applies to causal")
@@ -260,8 +272,11 @@ def ring_attention(
         l = q.shape[2]
         if l % (2 * n):
             raise ValueError(f"zigzag needs L % (2*n) == 0 (L={l}, n={n})")
-        idx = zigzag_indices(l, n)
-        qz, kz, vz = (jnp.take(x, idx, axis=2) for x in (q, k, v))
+        if preordered:
+            qz, kz, vz = q, k, v
+        else:
+            idx = zigzag_indices(l, n)
+            qz, kz, vz = (jnp.take(x, idx, axis=2) for x in (q, k, v))
         body = functools.partial(
             _zigzag_body,
             axis_name=axis_name,
@@ -275,6 +290,8 @@ def ring_attention(
             out_specs=spec,
             check_rep=False,
         )(qz, kz, vz)
+        if preordered:
+            return out
         return jnp.take(out, zigzag_inverse(l, n), axis=2)
     body = functools.partial(
         _ring_body,

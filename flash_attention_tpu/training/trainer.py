@@ -95,6 +95,12 @@ class TrainerConfig:
     # (params, opt_state, step, rng) is saved to `checkpoint_dir/step_N`.
     checkpoint_every: int = 0
     checkpoint_dir: str | None = None
+    # Measured on-chip block-size tuning (kernels/autotune.py): before the
+    # first train step is traced, sweep the model's attention shape on the
+    # live backend and cache the winning tiling; flash_attention's
+    # default-blocks path then uses it.  One sweep per (shape, chip kind),
+    # persisted — later runs hit the cache and pay nothing.
+    autotune_blocks: bool = False
 
 
 class Trainer:
@@ -234,11 +240,27 @@ class Trainer:
                     log(f"emergency checkpoint FAILED: {save_exc!r}")
             raise
 
+    def warmup_autotune(self, batch_size: int, seq_len: int | None = None):
+        """Measure the best attention tiling for this model's train shape
+        on the live backend and cache it (kernels/autotune.py) so the
+        jitted train step's flash_attention picks it up.  Call before the
+        first step (fit() does this when tcfg.autotune_blocks is set)."""
+        from ..kernels.autotune import autotune_for_model
+
+        return autotune_for_model(self.cfg, batch_size, seq_len=seq_len)
+
     def _fit(self, train_batches, val_batches, log, metrics) -> list[dict]:
         t0 = time.time()
         ckpt_every = self.tcfg.checkpoint_every
+        tuned = False
         for it in range(self.step, self.tcfg.max_iters):
             idx, targets = next(train_batches)
+            if self.tcfg.autotune_blocks and not tuned:
+                # Before the first train-step trace: the tuned entry must
+                # exist when flash_attention resolves its default blocks.
+                bs = self.warmup_autotune(idx.shape[0], idx.shape[1])
+                log(f"autotuned attention blocks: {bs}")
+                tuned = True
             self.rng, sub = jax.random.split(self.rng)
             self.params, self.opt_state, loss = self._train_step(
                 self.params, self.opt_state, idx, targets, sub

@@ -11,8 +11,18 @@ This must run before jax is imported anywhere in the test process.
 
 import glob
 import os
+import tempfile
 
 import pytest
+
+# flash_attention's default-blocks path consults the autotune cache
+# (kernels/autotune.py::tuned_blocks).  Isolate it so a developer's (or a
+# bench run's) tuned entries can't leak nondeterminism into tests; tests
+# that exercise the tuner point FA_AUTOTUNE_CACHE at their own tmp_path.
+os.environ.setdefault(
+    "FA_AUTOTUNE_CACHE",
+    os.path.join(tempfile.mkdtemp(prefix="fa_test_autotune_"), "tune.json"),
+)
 
 # FA_TPU_TESTS=1 switches to the on-hardware lane: tests/tpu/ runs on the
 # real chip (interpret mode cannot catch Mosaic compile/tiling failures —

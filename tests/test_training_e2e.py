@@ -134,3 +134,43 @@ def test_emergency_checkpoint_on_crash(tmp_path):
     assert t_b.resume(str(tmp_path)) == 3
     for a, b in zip(jax.tree.leaves(t_a.params), jax.tree.leaves(t_b.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_autotune_hook(tmp_path, monkeypatch):
+    """TrainerConfig(autotune_blocks=True): before the first train-step
+    trace the trainer sweeps the model's attention shape and persists the
+    winner; training proceeds normally on the tuned tiling."""
+    import importlib
+
+    monkeypatch.setenv("FA_AUTOTUNE_CACHE", str(tmp_path / "tune.json"))
+    at = importlib.import_module("flash_attention_tpu.kernels.autotune")
+    at.clear_cache()
+
+    import train as demo_train
+
+    text = demo_train.synthetic_corpus(10_000, seed=3)
+    from flash_attention_tpu.data import CharTokenizer, batch_iterator
+
+    tok = CharTokenizer(text)
+    data = tok.encode(text)
+    cfg = gpt.GPTConfig(
+        vocab_size=max(tok.vocab_size, 8), block_size=128, n_layer=1,
+        n_head=2, n_embd=32, dropout=0.0, dtype=jnp.float32,
+    )
+    tcfg = TrainerConfig(
+        max_iters=2, eval_interval=10, log_interval=1, warmup_iters=1,
+        autotune_blocks=True,
+    )
+    logs = []
+    trainer = Trainer(cfg, tcfg, seed=0)
+    trainer.fit(
+        batch_iterator(data, 2, cfg.block_size, seed=0),
+        log=logs.append,
+    )
+    assert any("autotuned attention blocks" in str(line) for line in logs)
+    hit = at.tuned_blocks(
+        (2, cfg.n_head, cfg.block_size, cfg.head_dim), cfg.block_size,
+        cfg.dtype, causal=True, num_kv_heads=cfg.kv_heads,
+    )
+    assert hit is not None
+    at.clear_cache()
