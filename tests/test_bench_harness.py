@@ -70,3 +70,18 @@ def test_bench_first_attempt_success_is_single_shot():
     assert proc.returncode == 0, proc.stderr
     _parse_headline(proc.stdout)
     assert "retrying" not in proc.stderr
+
+
+def test_bench_forwards_target_enriched_line():
+    """Plain runs emit TWO headline lines (insurance first, then the
+    target-matrix-enriched record); the orchestrator must forward the
+    LAST one, so the driver capture carries the target rows."""
+    proc = _run_bench(force_fail=0, attempts=1)
+    assert proc.returncode == 0, proc.stderr
+    rec = _parse_headline(proc.stdout)
+    assert "targets" in rec, rec
+    assert rec["targets_total"] == len(rec["targets"])
+    # renegotiated denominators are explicit in the record
+    assert rec["measured_ceiling_tflops"] == 169.0
+    assert rec["nominal_peak_tflops"] == 197.0
+    assert "vs_nominal" in rec
