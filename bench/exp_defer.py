@@ -116,6 +116,8 @@ def run_defer(q, k, v, bq=1024, bkv=1024):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shape", default="4,12,4096,128")
+    ap.add_argument("--depth", type=int, default=24)
+    ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
     b, h, l, d = map(int, args.shape.split(","))
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
@@ -124,24 +126,40 @@ def main():
     v = jax.random.normal(ks[2], (b * h, l, d), jnp.bfloat16)
     flops = 4 * b * h * l * l * d  # non-causal
 
-    for name, fn in (
-        ("single", run_single), ("paired", run_pair), ("defer", run_defer)
-    ):
+    def timer(fn):
         @jax.jit
         def chained(q, k, v):
-            o = q
-            for _ in range(3):
-                o = fn(o, k, v)
+            o, _ = jax.lax.scan(
+                lambda o, _: (fn(o, k, v), None), q, None, length=args.depth
+            )
             return jnp.sum(o.astype(jnp.float32))
 
-        s = chained(q, k, v)
-        float(s)
-        t0 = time.perf_counter()
-        for _ in range(4):
-            s = chained(q, k, v)
-        float(s)
-        dt = (time.perf_counter() - t0) / 4 / 3
-        print(f"{name}: {dt*1e3:.3f} ms  {flops/dt/1e12:.1f} TF/s", flush=True)
+        float(chained(q, k, v))  # compile
+        best = float("inf")
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            float(chained(q, k, v))
+            best = min(best, (time.perf_counter() - t0) / args.depth)
+        return best
+
+    # INTERLEAVED same-session A/B (round-4 discipline): base, variants,
+    # base again — the base spread is the session's drift band.
+    results = []
+    for name, fn in (
+        ("single", run_single), ("defer", run_defer),
+        ("paired", run_pair), ("single#2", run_single),
+    ):
+        dt = timer(fn)
+        results.append((name, dt))
+        print(f"{name:9s}: {dt*1e3:.3f} ms  {flops/dt/1e12:.1f} TF/s", flush=True)
+    base = min(dt for n, dt in results if n.startswith("single"))
+    defer = dict(results)["defer"]
+    print(
+        f"defer vs best-single: {(base/defer - 1)*100:+.1f}% "
+        f"(drift band: singles "
+        f"{abs(results[0][1]-results[3][1])/base*100:.1f}%)",
+        flush=True,
+    )
 
     o1 = run_single(q, k, v)
     o3 = run_defer(q, k, v)

@@ -332,10 +332,13 @@ _CP_CFG = dict(
 )
 
 
+@pytest.mark.slow
 def test_gpt_ring_model_forward_and_grad_parity():
     """GPT forward routes through ring attention when a seq mesh is live:
     logits AND parameter gradients (jax.grad through the whole model — the
-    lse-cotangent path across shards) match the single-device model."""
+    lse-cotangent path across shards) match the single-device model.
+    (slow lane: the fast lane's test_dp_cp_train_step already drives ring
+    attention inside the model with gradients end to end.)"""
     import dataclasses
 
     mesh = make_mesh(seq=4)
