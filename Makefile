@@ -35,6 +35,6 @@ tpu-smoke:
 		-k "(test_fwd_bwd_parity and bfloat16) or test_gqa_fwd_bwd or (test_quant_kv and int8) or test_paged_decode_attention"
 
 tpu-test:
-	FA_TPU_TESTS=1 timeout 1500 python -m pytest tests/tpu -q
+	FA_TPU_TESTS=1 timeout 1800 python -m pytest tests/tpu -q
 
 .PHONY: all clean tpu-smoke tpu-test
