@@ -1147,10 +1147,12 @@ def worker(args) -> int:
     # above still carries the capture if the worker dies mid-matrix.
     if args.autotune:
         _row(bench_autotune_ab)
+    if args.scansweep:
+        _row(bench_engine_scan_sweep)
 
     plain = not (
         args.all or args.llama or args.train or args.engine or args.spec
-        or args.autotune
+        or args.autotune or args.scansweep
     )
     if (plain or args.targets) and os.environ.get("FA_BENCH_NO_TARGETS") != "1":
         targets = run_target_matrix(headline)
@@ -1341,6 +1343,12 @@ def main() -> None:
         action="store_true",
         help="run the autotuner A/B (measured tiling vs default_blocks, "
         "3 shapes incl. GQA, interleaved same-session)",
+    )
+    parser.add_argument(
+        "--scansweep",
+        action="store_true",
+        help="engine scan_steps x chunked-prefill sweep under the 20 req/s "
+        "Poisson load (tail-latency attribution: tunnel vs scheduler)",
     )
     parser.add_argument(
         "--targets",
