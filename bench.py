@@ -695,6 +695,14 @@ def bench_spec_adaptive(slots=8, n_requests=16, prompt_len=200,
             # traffic routes through the fixed-shape spec scan)
             eng._spec_enabled = False
             warm_all_paths()
+            # ...and the RE-TRIAL path: force a trial round so its
+            # batched resync prefills and the post-trial ragged
+            # retirements compile outside the measured window
+            eng._spec_enabled = False
+            eng._scans_since_retreat = 1 << 30
+            for _ in range(slots):
+                eng.submit(prompts[0], max_new_tokens=scan_steps + 2)
+            eng.run()
         eng.finished.clear()
         eng.reset_stats()
         eng.reset_spec_state()  # the warmup's EMA/retreat must not leak

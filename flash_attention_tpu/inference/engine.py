@@ -90,7 +90,7 @@ class InferenceEngine:
         spec_k: int = 4,
         spec_adaptive: bool = False,
         spec_min_accept: float | None = None,
-        spec_retrial_every: int = 32,
+        spec_retrial_every: int = 128,
         spec_reopen_margin: float | None = None,
         pipeline_scans: bool = True,
     ):
@@ -145,14 +145,20 @@ class InferenceEngine:
 
         spec_retrial_every: the retreat is NOT a one-way door — every
         `spec_retrial_every` regular scans the engine runs ONE
-        speculative trial round (re-syncing the idle draft cache first)
-        and re-opens the gate if that round's mean accepted tokens
-        clears `spec_min_accept + spec_reopen_margin` (hysteresis:
-        re-opening demands a margin the retreat didn't, default
-        0.1*(spec_k+1), so a draft hovering at the threshold can't
-        flap).  Each failed trial DOUBLES the wait before the next
-        (exponential backoff), bounding trial overhead on a permanently
-        bad draft.  0 restores the permanent retreat."""
+        speculative trial round (re-syncing the idle draft cache first,
+        batched through prefill_many) and re-opens the gate if that
+        round's mean accepted tokens clears `spec_min_accept +
+        spec_reopen_margin` (hysteresis: re-opening demands a margin the
+        retreat didn't, default 0.1*(spec_k+1), so a draft hovering at
+        the threshold can't flap).  Each failed trial DOUBLES the wait
+        before the next (exponential backoff), bounding trial overhead
+        on a permanently bad draft.  The default 128 keeps trials at
+        ~1% of scans for long-lived serving while short bursts see at
+        most one; a trial costs the resync dispatches plus one
+        speculative round (measured: per-slot resyncs at interval 32 ate
+        the whole retreat win on a 1k-token workload — hence batched
+        resyncs and the long default).  0 restores the permanent
+        retreat."""
         self.params = params
         self.cfg = cfg
         self.slots = slots
@@ -604,21 +610,59 @@ class InferenceEngine:
         greedy slot no longer decodes through the regular scan — but it
         keeps the precondition locally enforced rather than assumed.
         """
-        for slot in sorted(self._draft_stale & set(slots)):
+        stale = sorted(self._draft_stale & set(slots))
+        groups: dict[int, list] = {}
+        for slot in stale:
             req = self.running[slot]
             hist = req.prompt + req.output[:-1]
-            n = len(hist)
-            bucket = self._bucket_len(n)
-            toks = np.full((bucket,), hist[-1], np.int32)
-            toks[:n] = hist
-            self.draft_cache, _ = self._draft_prefill(
-                self.draft_params,
-                jnp.asarray(toks),
-                self.draft_cache,
-                jnp.int32(slot),
-                jnp.int32(n),
+            groups.setdefault(self._bucket_len(len(hist)), []).append(
+                (slot, hist)
             )
-            self.stats["draft_resyncs"] = self.stats.get("draft_resyncs", 0) + 1
+        for bucket, items in groups.items():
+            # Batch same-bucket resyncs through prefill_many (power-of-two
+            # batch sizes — the compiles admission already pays for): a
+            # re-trial round resyncing 8 slots costs 1-2 dispatches, not 8
+            # (per-slot dispatches measured ~30 ms each through the
+            # tunnel and ate the retreat win at short workloads).
+            while items:
+                m = (
+                    1 << (len(items).bit_length() - 1)
+                    if self._draft_prefill_many is not None
+                    else 1
+                )
+                chunk, items = items[:m], items[m:]
+                if m == 1:
+                    slot, hist = chunk[0]
+                    n = len(hist)
+                    toks = np.full((bucket,), hist[-1], np.int32)
+                    toks[:n] = hist
+                    self.draft_cache, _ = self._draft_prefill(
+                        self.draft_params,
+                        jnp.asarray(toks),
+                        self.draft_cache,
+                        jnp.int32(slot),
+                        jnp.int32(n),
+                    )
+                else:
+                    toks = np.zeros((m, bucket), np.int32)
+                    slots_arr = np.zeros((m,), np.int32)
+                    lens_arr = np.zeros((m,), np.int32)
+                    for i, (slot, hist) in enumerate(chunk):
+                        n = len(hist)
+                        toks[i, :n] = hist
+                        toks[i, n:] = hist[-1]
+                        slots_arr[i] = slot
+                        lens_arr[i] = n
+                    self.draft_cache, _ = self._draft_prefill_many(
+                        self.draft_params,
+                        jnp.asarray(toks),
+                        self.draft_cache,
+                        jnp.asarray(slots_arr),
+                        jnp.asarray(lens_arr),
+                    )
+                self.stats["draft_resyncs"] = (
+                    self.stats.get("draft_resyncs", 0) + len(chunk)
+                )
         self._draft_stale.clear()
 
     def _spec_trial_due(self) -> bool:
