@@ -722,12 +722,25 @@ class InferenceEngine:
                 self._spec_retrial_interval *= 2  # backoff: trials get rarer
         elif self.spec_adaptive:
             got = counts[:, list(slots)]
-            if got.size:
+            round_mean = float(got.mean()) if got.size else None
+            if round_mean is not None:
                 self._spec_accept_ema = (
-                    0.7 * self._spec_accept_ema + 0.3 * float(got.mean())
+                    0.7 * self._spec_accept_ema + 0.3 * round_mean
                 )
             self.stats["spec_accept_ema"] = round(self._spec_accept_ema, 3)
-            if self._spec_accept_ema < self.spec_min_accept:
+            # Catastrophic first impression: a draft accepting under half
+            # the crossover in its opening rounds cannot plausibly
+            # recover the EMA from its optimistic start — waiting the ~3
+            # rounds the decay needs just burns losing rounds (measured:
+            # they were most of the adaptive run's residual loss on short
+            # workloads).  Only ever makes the retreat FASTER; an unlucky
+            # early call is self-correcting via the re-trial rounds.
+            catastrophic = (
+                round_mean is not None
+                and self.stats["spec_rounds"] <= 2
+                and round_mean < 0.5 * self.spec_min_accept
+            )
+            if self._spec_accept_ema < self.spec_min_accept or catastrophic:
                 # Acceptance too low for a spec iteration to beat a plain
                 # scan step: retreat to the regular scan (re-triable every
                 # spec_retrial_every scans; permanent when that is 0).

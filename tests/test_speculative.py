@@ -405,3 +405,29 @@ def test_engine_no_draft_prefills_after_retreat(params):
     assert eng.stats.get("draft_prefills", 0) == before, eng.stats
     # and with retrials off, no trial ever fires
     assert eng.stats.get("spec_trials", 0) == 0, eng.stats
+
+
+def test_engine_spec_adaptive_fast_retreat_on_catastrophic_draft(params):
+    """A draft whose opening round accepts under half the crossover
+    retreats IMMEDIATELY (no waiting for the EMA decay) — outputs still
+    identical to the plain engine."""
+    from flash_attention_tpu.inference import InferenceEngine
+
+    dparams = gpt.init_params(jax.random.PRNGKey(9), DRAFT)
+    prompts = [[3, 1, 4, 1, 5], [9, 2, 6]]
+
+    def run(**kw):
+        eng = InferenceEngine(params, CFG, slots=2, max_len=256, scan_steps=8, **kw)
+        for p in prompts:
+            eng.submit(p, max_new_tokens=24)
+        return {r.uid: r.output for r in eng.run()}, eng.stats
+
+    plain, _ = run()
+    # threshold set so the toy pair's ~3/4 acceptance is 'catastrophic'
+    # (< 0.5 * 8): the retreat must land on the very first spec round.
+    spec, stats = run(
+        draft_params=dparams, draft_cfg=DRAFT, spec_k=3, spec_adaptive=True,
+        spec_min_accept=8.0, spec_retrial_every=0,
+    )
+    assert plain == spec, (plain, spec)
+    assert stats.get("spec_disabled_at_round") == 1, stats
