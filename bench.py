@@ -271,7 +271,7 @@ def bench_decode(
 
 def bench_engine(
     slots=8, n_requests=96, rate_per_s=20.0, prompt_len=200,
-    max_new_tokens=64, scan_steps=16, seed=0, long_frac=0.0,
+    max_new_tokens=64, scan_steps=32, seed=0, long_frac=0.0,
     max_len=512, chunk_prefill=None,
 ) -> dict:
     """Continuous-batching engine under Poisson arrivals: p50/p95 TTFT and
@@ -356,7 +356,7 @@ def bench_engine(
 
 
 def bench_engine_scan_sweep(
-    rate_per_s=20.0, n_requests=96, scan_lengths=(1, 4, 8, 16),
+    rate_per_s=20.0, n_requests=96, scan_lengths=(1, 4, 8, 16, 32, 64),
     chunk_rows=((16, 128),), seed=0,
 ) -> list[dict]:
     """Attribute the Poisson TTFT tail: tunnel vs scheduler structure.
@@ -395,7 +395,7 @@ def bench_engine_scan_sweep(
 
 
 def bench_engine_capacity(slots=8, n_requests=24, prompt_len=200,
-                          max_new_tokens=64, scan_steps=16) -> dict:
+                          max_new_tokens=64, scan_steps=32) -> dict:
     """Like-for-like engine capacity: all requests submitted at once (no
     arrival process), total tokens / wall.  The Poisson rows measure
     latency under load; this row isolates sustained throughput — the
