@@ -1208,6 +1208,7 @@ def worker(args) -> int:
             _row(bench_attention_fwd, l=32768, b=1, h=8),
             _row(bench_attention_fwd, l=32768, b=1, h=8, d=64),
             _row(bench_attention_fwd, l=65536, b=1, h=8),
+            _row(bench_attention_fwd, l=131072, b=1, h=8),
             _row(bench_attention_kv_quant, dtype=jnp.int8),
             _row(bench_attention_kv_quant, dtype=jnp.float8_e4m3fn),
             _row(bench_attention_bwd),
