@@ -83,6 +83,7 @@ class InferenceEngine:
         prefill_fn=None,
         decode_fn=None,
         scan_steps: int = 8,
+        scan_tokens_target: int | None = None,
         chunk_prefill: int | None = None,
         prefill_chunk_fn=None,
         draft_params=None,
@@ -105,6 +106,18 @@ class InferenceEngine:
         per-slot temperature/top_k), so per-token cost approaches the raw
         decode_loop kernel; the host syncs, retires finished requests, and
         admits new ones only between scans.  1 restores per-token stepping.
+
+        scan_tokens_target: adaptive scan length by BATCH — cap each
+        scan so active_slots x steps stays at or under this many tokens
+        per dispatch (power-of-two steps, still bounded by scan_steps
+        and the budget caps).  The round-5 capacity frontier measured
+        the optimum at ~512 tokens/dispatch across batch sizes through
+        the tunnel (slots8->scan32, slots16->scan32, slots32->scan16 —
+        BASELINE.md); with scan_steps=32 and scan_tokens_target=512 the
+        engine reproduces that frontier as the batch grows and shrinks.
+        None (default) keeps the static scan_steps: the right
+        tokens-per-dispatch depends on dispatch latency, which is
+        environment-specific (~7-8 ms tunneled here, ~0.1 ms local).
 
         chunk_prefill: when set, prompts longer than this are admitted in
         chunk_prefill-token chunks interleaved with decode scans (vLLM-style
@@ -177,6 +190,7 @@ class InferenceEngine:
         )
         self.buckets = _buckets(self.max_len)
         self.scan_steps = max(1, scan_steps)
+        self.scan_tokens_target = scan_tokens_target
         _prefill_impl = prefill_fn or prefill
         _decode_impl = decode_fn or decode_step
         # (No donate_argnums: fresh caches hold aliased zero buffers — JAX
@@ -960,6 +974,12 @@ class InferenceEngine:
         max_rem = max(max(rems), 1)
         steps = min(self.scan_steps, 1 << (max_rem - 1).bit_length())
         steps = max(1, steps)
+        if self.scan_tokens_target is not None:
+            # Tokens-per-dispatch cap (see __init__): wide batches take
+            # shorter scans — dispatch overhead is already amortized and
+            # over-generation/slot-hold costs dominate past the target.
+            cap = max(1, self.scan_tokens_target // max(len(decode_slots), 1))
+            steps = min(steps, 1 << (cap.bit_length() - 1))
         shallow = 0 < (len(self.queue) + len(self.prefilling)) <= max(
             2, self.slots // 4
         )
