@@ -115,6 +115,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--remat", action="store_true",
         help="checkpoint each block (trade recompute for activation memory)",
     )
+    p.add_argument(
+        "--cp", type=int, default=1,
+        help="context parallelism: shard the sequence over this many "
+             "devices and route attention through ring attention inside "
+             "the model (requires block_size %% cp == 0 and cp devices; "
+             "use XLA_FLAGS=--xla_force_host_platform_device_count=N "
+             "JAX_PLATFORMS=cpu for a hardware-free demo)",
+    )
+    p.add_argument(
+        "--cp-zigzag", action="store_true",
+        help="with --cp: zig-zag striped sharding (causal load balance)",
+    )
     p.add_argument("--profile", action="store_true", help="trace 1 iter and exit")
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument(
@@ -170,6 +182,27 @@ def _run(args: argparse.Namespace):
         use_flash=args.attention == "flash",
         remat=args.remat,
     )
+    batch_sharding = None
+    if args.cp > 1:
+        import dataclasses
+
+        import jax
+        from flash_attention_tpu.parallel import make_mesh, seq_batch_sharding
+
+        if args.block_size % args.cp:
+            raise SystemExit(f"--cp {args.cp} must divide block_size")
+        if len(jax.devices()) < args.cp:
+            raise SystemExit(
+                f"--cp {args.cp} needs {args.cp} devices, have "
+                f"{len(jax.devices())} (see --cp help for the virtual-mesh env)"
+            )
+        cp_mesh = make_mesh(seq=args.cp)
+        cfg = dataclasses.replace(
+            cfg, seq_mesh=cp_mesh, seq_zigzag=args.cp_zigzag
+        )
+        batch_sharding = seq_batch_sharding(cp_mesh)
+        print(f"context parallel: sequence sharded over {args.cp} devices"
+              + (" (zigzag)" if args.cp_zigzag else ""))
     outdir = pathlib.Path(args.out_dir)
     tcfg = TrainerConfig(
         max_iters=args.max_iters,
@@ -179,7 +212,7 @@ def _run(args: argparse.Namespace):
         checkpoint_every=args.checkpoint_every,
         checkpoint_dir=str(outdir) if args.checkpoint_every else None,
     )
-    trainer = Trainer(cfg, tcfg, seed=args.seed)
+    trainer = Trainer(cfg, tcfg, seed=args.seed, batch_sharding=batch_sharding)
     print(f"model: {gpt.num_params(trainer.params) / 1e6:.2f}M params, "
           f"attention={args.attention}")
     if args.resume:

@@ -223,6 +223,15 @@ def forward(
     # ONCE here (and positions with them — the attention body assumes the
     # striped layout), restore order on the logits at the head.  LN/MLP
     # are position-independent, so nothing else notices.
+    if cfg.seq_mesh is not None:
+        n_div = cfg.seq_mesh.shape[cfg.seq_axis] * (2 if cfg.seq_zigzag else 1)
+        if t % n_div:
+            raise ValueError(
+                f"context-parallel forward needs T % {n_div} == 0 (T={t}, "
+                f"seq axis {cfg.seq_mesh.shape[cfg.seq_axis]}"
+                f"{', zigzag doubles the chunking' if cfg.seq_zigzag else ''});"
+                " for incremental decoding use a cfg without seq_mesh"
+            )
     zig = cfg.seq_mesh is not None and cfg.seq_zigzag
     if zig:
         from ..parallel.ring_attention import zigzag_indices, zigzag_inverse
@@ -310,6 +319,11 @@ def generate(
     The inference engine (flash_attention_tpu.inference) is the production
     decode path with a KV cache; this exists for demo/test parity.
     """
+    if cfg.seq_mesh is not None:
+        # Context parallelism is a training-path feature: incremental
+        # decoding feeds arbitrary-length contexts, which cannot satisfy
+        # the ring's per-shard divisibility — sample single-device.
+        cfg = dataclasses.replace(cfg, seq_mesh=None)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     for _ in range(max_new_tokens):
         ctx = idx[:, -cfg.block_size :]
