@@ -153,6 +153,13 @@ def forward(params: Params, idx: jax.Array, cfg: LlamaConfig) -> jax.Array:
     # zig-zag order is applied once at the token level (positions permute
     # with their tokens, so RoPE is untouched semantically) and undone on
     # the logits.  See models/gpt.py::forward for the layout discussion.
+    if cfg.seq_mesh is not None:
+        n_div = cfg.seq_mesh.shape[cfg.seq_axis] * (2 if cfg.seq_zigzag else 1)
+        if t % n_div:
+            raise ValueError(
+                f"context-parallel forward needs T % {n_div} == 0 (T={t}); "
+                "for incremental decoding use a cfg without seq_mesh"
+            )
     zig = cfg.seq_mesh is not None and cfg.seq_zigzag
     if zig:
         from ..parallel.ring_attention import zigzag_indices, zigzag_inverse
