@@ -893,6 +893,54 @@ def bench_autotune_ab(
     return rows
 
 
+def bench_chunked_prefill_llama(chunk=2048, ctx_long=8000, ctx_short=200) -> dict:
+    """Chunked prefill in its WIN regime (the GPT-2-scale measurement
+    showed it losing; BASELINE.md round 2): a 7B-class 8k prompt whose
+    whole-prompt prefill is one ~800 ms dispatch head-of-line blocks a
+    short request admitted alongside it.  Chunked admission interleaves
+    the long prompt's chunks with the short request's prefill + decode.
+    Reports the SHORT request's TTFT with and without chunking."""
+    import dataclasses as _dc
+
+    from flash_attention_tpu.inference.engine import InferenceEngine
+    from flash_attention_tpu.models import llama
+
+    import numpy as np
+
+    cfg = _dc.replace(llama.LLAMA2_7B, n_kv_head=8, max_seq=8192)
+    params = _synthetic_llama_quant(cfg, jax.random.PRNGKey(0), bits=4)
+    rng = np.random.default_rng(0)
+    long_p = rng.integers(0, cfg.vocab_size, ctx_long).tolist()
+    short_p = rng.integers(0, cfg.vocab_size, ctx_short).tolist()
+
+    def run(c):
+        eng = InferenceEngine(
+            params, cfg, slots=2, max_len=8192,
+            prefill_fn=llama.prefill, decode_fn=llama.decode_step,
+            prefill_chunk_fn=llama.prefill_chunk,
+            chunk_prefill=c, scan_steps=8,
+        )
+        eng.submit(short_p, max_new_tokens=4)
+        eng.run()
+        eng.submit(long_p, max_new_tokens=4)
+        eng.run()  # warm all prefill/chunk/decode compiles
+        eng.finished.clear()
+        eng.reset_stats()
+        eng.submit(long_p, max_new_tokens=8)
+        uid = eng.submit(short_p, max_new_tokens=8)
+        done = {r.uid: r for r in eng.run()}
+        return done[uid].ttft * 1e3
+
+    blocked = run(None)
+    chunked = run(chunk)
+    return {
+        "config": f"chunked-prefill llama7B-int4 8k-long + short chunk{chunk}",
+        "short_ttft_ms_whole_prompt": round(blocked, 1),
+        "short_ttft_ms_chunked": round(chunked, 1),
+        "speedup": round(blocked / chunked, 1),
+    }
+
+
 def bench_train(batch=8, block=1024, steps=8, n_head=None) -> dict:
     """GPT-2 124M training step throughput (tokens/s/chip), bf16 activations,
     the reference demo's workload scaled to its full block size.
@@ -1264,6 +1312,14 @@ def worker(args) -> int:
                     f"{mem}",
                     file=sys.stderr,
                 )
+        r = _row(bench_chunked_prefill_llama)
+        if r:
+            print(
+                f"{r['config']:55s} short TTFT {r['short_ttft_ms_chunked']} ms "
+                f"chunked vs {r['short_ttft_ms_whole_prompt']} ms whole-prompt "
+                f"({r['speedup']}x)",
+                file=sys.stderr,
+            )
     return 0
 
 
