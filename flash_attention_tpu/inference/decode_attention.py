@@ -38,6 +38,34 @@ from ..kernels.vanilla import DEFAULT_MASK_VALUE
 from .kv_cache import KVCache
 
 
+def _einsum_attend(q4, k, v, k_scale, v_scale, lengths, sm_scale, quantized):
+    """Shared einsum body over a slot range.
+
+    q4: [S, Hkv, G, D]; k/v: [Hkv, S, L, D]; scales [Hkv, S, L] (or None);
+    lengths [S].  Returns [S, Hkv, G, D] fp32.
+    """
+    scores = jnp.einsum(
+        "shgd,hsld->shgl", q4, k.astype(q4.dtype),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    if quantized:
+        # fold K dequant scale per cached token (column of scores)
+        scores = scores * jnp.swapaxes(k_scale, 0, 1)[:, :, None, :]
+
+    valid = (
+        jnp.arange(k.shape[2])[None, :] <= lengths[:, None]
+    )  # [S, L]
+    scores = jnp.where(valid[:, None, None, :], scores, DEFAULT_MASK_VALUE)
+
+    p = jax.nn.softmax(scores, axis=-1)
+    if quantized:
+        p = p * jnp.swapaxes(v_scale, 0, 1)[:, :, None, :]
+    return jnp.einsum(
+        "shgl,hsld->shgd", p.astype(q4.dtype), v.astype(q4.dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def decode_attention(
     q: jax.Array,
     cache: KVCache,
@@ -57,29 +85,66 @@ def decode_attention(
     if sm_scale is None:
         sm_scale = float(d) ** -0.5
 
-    k, v = cache.k[layer], cache.v[layer]  # [Hkv, S, L, D] payloads
     q4 = q.reshape(s, hkv, group, d)
-
-    scores = jnp.einsum(
-        "shgd,hsld->shgl", q4, k.astype(q.dtype),
-        preferred_element_type=jnp.float32,
-    ) * sm_scale
-    if cache.quantized:
-        # fold K dequant scale per cached token (column of scores)
-        scores = scores * jnp.swapaxes(cache.k_scale[layer], 0, 1)[:, :, None, :]
-
-    valid = (
-        jnp.arange(cache.max_len)[None, :] <= cache.lengths[:, None]
-    )  # [S, L]
-    scores = jnp.where(valid[:, None, None, :], scores, DEFAULT_MASK_VALUE)
-
-    p = jax.nn.softmax(scores, axis=-1)
-    if cache.quantized:
-        p = p * jnp.swapaxes(cache.v_scale[layer], 0, 1)[:, :, None, :]
-    out = jnp.einsum(
-        "shgl,hsld->shgd", p.astype(q.dtype), v.astype(q.dtype),
-        preferred_element_type=jnp.float32,
+    out = _einsum_attend(
+        q4,
+        cache.k[layer],
+        cache.v[layer],
+        cache.k_scale[layer] if cache.quantized else None,
+        cache.v_scale[layer] if cache.quantized else None,
+        cache.lengths,
+        sm_scale,
+        cache.quantized,
     )
+    return out.reshape(s, hq, d).astype(q.dtype)
+
+
+def decode_attention_chunked(
+    q: jax.Array,
+    cache: KVCache,
+    layer: int,
+    *,
+    sm_scale: float | None = None,
+    chunk: int = 64,
+) -> jax.Array:
+    """Einsum decode attention computed in static slot chunks of `chunk`.
+
+    Motivation (BASELINE.md round-5 decode scaling): XLA's fused
+    decode-attention strategy on this toolchain degenerates past 64 slots
+    (slots96/128 collapse from ~9.1k to ~0.7k tok/s).  Splitting the slot
+    axis into static <=64-slot chunks keeps every einsum inside the regime
+    where XLA picks the fast strategy; the chunk slices are static views
+    that fuse into the dots (no extra HBM pass).  Falls back to the plain
+    einsum when slots <= chunk.  Non-multiples run a ragged tail chunk.
+    """
+    s, hq, d = q.shape
+    if s <= chunk:
+        return decode_attention(q, cache, layer, sm_scale=sm_scale)
+    hkv = cache.kv_heads
+    group = hq // hkv
+    if sm_scale is None:
+        sm_scale = float(d) ** -0.5
+
+    k, v = cache.k[layer], cache.v[layer]  # [Hkv, S, L, D]
+    ks = cache.k_scale[layer] if cache.quantized else None
+    vs = cache.v_scale[layer] if cache.quantized else None
+    q4 = q.reshape(s, hkv, group, d)
+    outs = []
+    for lo in range(0, s, chunk):
+        hi = min(lo + chunk, s)
+        outs.append(
+            _einsum_attend(
+                q4[lo:hi],
+                k[:, lo:hi],
+                v[:, lo:hi],
+                ks[:, lo:hi] if ks is not None else None,
+                vs[:, lo:hi] if vs is not None else None,
+                cache.lengths[lo:hi],
+                sm_scale,
+                cache.quantized,
+            )
+        )
+    out = jnp.concatenate(outs, axis=0)
     return out.reshape(s, hq, d).astype(q.dtype)
 
 

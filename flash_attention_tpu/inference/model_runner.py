@@ -22,6 +22,7 @@ from ..quant.weights import QuantizedTensor, quantized_matmul
 from . import kv_cache as kvc
 from .decode_attention import (
     decode_attention,
+    decode_attention_chunked,
     decode_attention_fused,
     decode_attention_paged,
 )
@@ -306,6 +307,7 @@ def decode_step(
     d, h, hkv = cfg.head_dim, cfg.n_head, cfg.kv_heads
     attend = {
         "einsum": decode_attention,
+        "chunked": decode_attention_chunked,
         "paged": decode_attention_paged,
         "fused": decode_attention_fused,
     }[attn_impl]

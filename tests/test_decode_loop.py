@@ -74,6 +74,38 @@ def test_decode_attention_fused_matches_einsum():
         assert err <= 3e-2, (hq, hkv, d, quant, err)
 
 
+def test_decode_attention_chunked_matches_einsum():
+    """Chunked (<=64-slot static chunks, the S>64 XLA-cliff workaround) vs
+    the plain einsum, incl. a ragged tail chunk and an int8 cache."""
+    import dataclasses
+
+    from flash_attention_tpu.inference import kv_cache as kvc
+    from flash_attention_tpu.inference.decode_attention import (
+        decode_attention, decode_attention_chunked,
+    )
+
+    for hq, hkv, d, quant, s in [
+        (12, 12, 64, None, 96),      # ragged tail: 64 + 32
+        (8, 2, 64, jnp.int8, 128),   # GQA, two full chunks, quantized
+        (4, 4, 64, None, 8),         # below chunk -> plain einsum fallback
+    ]:
+        ll = 128
+        cache = init_cache(2, s, hkv, ll, d, dtype=jnp.bfloat16, quant_dtype=quant)
+        for t in range(70):
+            kt = jax.random.normal(jax.random.PRNGKey(300 + t), (s, hkv, d), jnp.bfloat16)
+            vt = jax.random.normal(jax.random.PRNGKey(400 + t), (s, hkv, d), jnp.bfloat16)
+            cache = kvc.decode_write(cache, 1, kt, vt, jnp.full((s,), t, jnp.int32))
+        lengths = (jnp.arange(s, dtype=jnp.int32) * 13) % 70
+        cache = dataclasses.replace(cache, lengths=lengths)
+        q = jax.random.normal(jax.random.PRNGKey(9), (s, hq, d), jnp.bfloat16)
+        ref = decode_attention(q, cache, 1)
+        out = decode_attention_chunked(q, cache, 1, chunk=64)
+        err = float(
+            jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))
+        )
+        assert err <= 2e-2, (hq, hkv, d, quant, s, err)
+
+
 def test_decode_loop_fused_impl_matches_einsum_impl():
     params = gpt.init_params(jax.random.PRNGKey(0), CFG)
     cache = init_cache(CFG.n_layer, 2, CFG.kv_heads, 128, CFG.head_dim, dtype=CFG.dtype)
